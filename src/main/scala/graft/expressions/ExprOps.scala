@@ -1,0 +1,112 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels referenced from generated (whole-stage codegen) Java as
+  * `graft.expressions.ExprOps$.MODULE$.<fn>(...)`. Pure, allocation-light,
+  * deterministic — safe at any parallelism.
+  */
+object ExprOps {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the per-token hash for simhash. */
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens of `text`.
+    * Each token hashed with FNV-64; per-bit vote; sign → bit.
+    * Empty/blank text → 0L. */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    var any = false
+    while (i < n) {
+      // skip whitespace
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        any = true
+        val h = fnv64(bytes, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    if (!any) return 0L
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** Document fingerprint: minimum of Rabin-Karp rolling hashes over all
+    * `k`-byte windows (winnowing with a single global window — a compact,
+    * shift-tolerant content fingerprint). Text shorter than k hashes whole. */
+  def rollingFingerprint(text: UTF8String, k: Int): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    val kk = if (n < k) n else k
+    val B = 1000000007L
+    // precompute B^(kk-1)
+    var pow = 1L
+    var j = 1
+    while (j < kk) { pow *= B; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < kk) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = mix(h)
+    i = kk
+    while (i < n) {
+      h = (h - (bytes(i - kk) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      val m = mix(h)
+      if (java.lang.Long.compareUnsigned(m, min) < 0) min = m
+      i += 1
+    }
+    min
+  }
+
+  /** xorshift-style finalizer so rolling-hash structure doesn't leak. */
+  @inline def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Cosine similarity between two float arrays, accumulated in double.
+    * Null-element-free arrays assumed (our embedding columns). Length
+    * mismatch → uses common prefix; zero norm → 0.0. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the operators Spark's built-in function
+  * library lacks, each with real `doGenCode` so they stay inside
+  * whole-stage codegen (no UDF serialization, no codegen fallback):
+  *
+  *  - [[SimHash64Expr]]   — 64-bit SimHash of a text column (near-dup key);
+  *  - [[RollingFingerprintExpr]] — Rabin-Karp min-window document
+  *    fingerprint (shift-tolerant content identity);
+  *  - [[CosineSimExpr]]   — cosine similarity of two `array<float>`
+  *    embedding columns (the ANN hot loop, primitive-typed).
+  *
+  * Exposed as `Column`s via [[GraftFunctions]].
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.simhash64($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+case class RollingFingerprintExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.rollingFingerprint(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.rollingFingerprint($c, $k);")
+  override protected def withNewChildInternal(c: Expression): RollingFingerprintExpr =
+    copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.cosineF($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-level entry points for the native expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(c)))
+
+  def rollingFingerprint(c: Column, k: Int = 16): Column =
+    Bridge.column(RollingFingerprintExpr(Bridge.expression(c), k))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{EcliFunctions, SimilarityFunctions, TextFunctions, UrlFunctions}
+import graft.expressions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("url canonicalization strips all whitespace (reference semantics)") {
+    val df = Seq(
+      "https://example.de/jportal/?docid=KARE600068723&x=1",
+      "https://example.de/jportal/?doc id=KARE6000\n68723&x=1\t",
+      "  https://example.de/a  ").toDF("url")
+    val got = df.select(UrlFunctions.canonicalizeUrl($"url")).as[String].collect()
+    assert(got(0) == "https://example.de/jportal/?docid=KARE600068723&x=1")
+    assert(got(1) == "https://example.de/jportal/?docid=KARE600068723&x=1")
+    assert(got(2) == "https://example.de/a")
+    // canonical equal ⇒ identical url_hash
+    val hashes = df.select(UrlFunctions.urlHash($"url")).as[Long].collect()
+    assert(hashes(0) == hashes(1))
+    assert(hashes(0) != hashes(2))
+  }
+
+  test("docid extraction is the strict regex variant; court prefix map") {
+    val df = Seq(
+      "https://x.de/?docid=KARE600068723&max=true",
+      "https://x.de/?docid=kore123&max=true", // lowercase NOT matched (strict)
+      "https://x.de/nodocid").toDF("url")
+    val ids = df.select(UrlFunctions.extractDocId($"url")).as[String].collect()
+    assert(ids(0) == "KARE600068723")
+    assert(ids(1) == "")
+    assert(ids(2) == "")
+    val courts = Seq("KARE1", "KORE2", "KSRE3", "WBRE4", "JURE5").toDF("id")
+      .select(UrlFunctions.courtOf($"id")).as[String].collect()
+    assert(courts.toSeq == Seq("BAG", "BGH", "BSG", "BVerwG", "UNKNOWN"))
+  }
+
+  test("host + salted host bucket") {
+    val df = Seq("https://a.example.com/x", "http://b.example.org/y").toDF("url")
+    val hosts = df.select(UrlFunctions.hostOf($"url")).as[String].collect()
+    assert(hosts.toSeq == Seq("a.example.com", "b.example.org"))
+    val b = df.select(UrlFunctions.hostBucket(UrlFunctions.hostOf($"url"), 16)).as[Int].collect()
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+
+  test("ECLI validate: reference test-suite cases") {
+    val valid = Seq(
+      "ECLI:DE:BGH:2023:123456",
+      "de:bgh:2023:123456", // normalized: prefix+upper
+      "ECLI:EU:C:2023:456",
+      "ECLI:AT:OGH:2022:0001OB00123.22K.0315.000",
+      "ECLI:NL:HR:2023:ABC.123")
+    val invalid = Seq(
+      "ECLI:XX:BGH:2023:123456",       // bad country
+      "ECLI:DE:1GH:2023:123456",       // court starts with digit
+      "ECLI:DE:BGH:23:123456",         // 2-digit year
+      "ECLI:DE:BGH:1800:123456",       // year < 1900
+      "ECLI:DE:BGH:2050:123456",       // far-future year
+      "ECLI:DE:BGH:2023:" + "A" * 26,  // ordinal too long
+      "ECLI:DE:BGH:2023:12-34",        // ordinal bad char
+      "ECLI:DE:TOOLONGCOURT:2023:1",   // court > 7
+      "", "   ")
+    val df = (valid.map((_, true)) ++ invalid.map((_, false))).toDF("ecli", "expected")
+    val bad = df.withColumn("got", EcliFunctions.isValidEcli($"ecli", 2026))
+      .filter($"got" =!= $"expected").collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.mkString(";")}")
+  }
+
+  test("ECLI extraction from text: finds, validates, normalizes, dedups") {
+    val text = """Header ECLI:DE:BGH:2023:123456 then de:bag:2022:111
+                  bad one ECLI:XX:BGH:2023:1 again ECLI:DE:BGH:2023:123456"""
+    val got = Seq(text).toDF("t")
+      .select(array_sort(EcliFunctions.extractEclis($"t", 2026)))
+      .as[Seq[String]].head()
+    assert(got == Seq("ECLI:DE:BAG:2022:111", "ECLI:DE:BGH:2023:123456"))
+  }
+
+  test("token counting + langId + quality") {
+    val df = Seq(
+      "the cat and the dog went to the market and it was good",
+      "der Richter und die Entscheidung ist nicht von der Sache",
+      "zzz qqq xxx").toDF("text")
+    val toks = df.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(toks(0) == 13 && toks(2) == 3)
+    val langs = df.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "unknown"))
+    val q = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(2)) // stopword-rich English beats gibberish
+    assert(Seq("").toDF("text").select(TextFunctions.tokenCount($"text")).as[Int].head() == 0)
+  }
+
+  test("simhash: similar texts close in hamming, disjoint texts far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy cat again and again"),
+      ("c", "completely different words entirely unrelated nothing shared here at all")
+    ).toDF("id", "text").withColumn("sh", GraftFunctions.simhash64($"text"))
+    val m = df.select($"id", $"sh").as[(String, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+    assert(ham(m("a"), m("b")) <= 16)
+  }
+
+  test("rolling fingerprint: shift-tolerant identity") {
+    val df = Seq(
+      ("a", "PREFIX common stable content body here SUFFIX"),
+      ("b", "XX common stable content body here YYYYY"),
+      ("c", "totally different payload")
+    ).toDF("id", "text")
+      .withColumn("fp", GraftFunctions.rollingFingerprint($"text", 16))
+    val m = df.select($"id", $"fp").as[(String, Long)].collect().toMap
+    // same 16-byte min-window survives the shifted affixes
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("cosine: codegen expr agrees with built-in double path; self-sim = 1") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.cosineSim($"a", $"b").as("fast"),
+      SimilarityFunctions.cosineBuiltin($"a", $"b").as("ref")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+  }
+
+  test("shingles, minhash, lsh bands, jaccard") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumped over the lazy dog"),
+      ("c", "entirely unrelated content nothing in common at all")
+    ).toDF("id", "text")
+      .withColumn("sh", SimilarityFunctions.charShingles($"text", 5))
+      .withColumn("sig", SimilarityFunctions.minhashSignature($"sh", 16))
+      .withColumn("bands", SimilarityFunctions.lshBandKeys($"sig", 4, 4))
+    val sigs = df.select($"id", $"sig").as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a").size == 16)
+    def est(x: Seq[Long], y: Seq[Long]) = x.zip(y).count(p => p._1 == p._2) / 16.0
+    assert(est(sigs("a"), sigs("b")) > est(sigs("a"), sigs("c")))
+    val j = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+      .select($"x.id", $"y.id", SimilarityFunctions.jaccard($"x.sh", $"y.sh").as("j"))
+      .as[(String, String, Double)].collect()
+      .map { case (l, r, v) => (l, r) -> v }.toMap
+    assert(j(("a", "b")) > 0.5 && j(("a", "c")) < 0.1)
+  }
+}
