@@ -1,24 +1,79 @@
 package graft
+
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.crawl.{CrawlConfig, CrawlLoop}
+
+/** Benchmark main — prints ONE JSON line.
+  *
+  * Two measurements:
+  *  1. read-side headline queries on SPARK_GRAFT_SF_DIR at local[CPUS]
+  *     (per-query seconds in "queries");
+  *  2. the crawl engine (synth → key → robots → dedup → politeness →
+  *     fetch → sinks) at two parallelism levels — local[N] and local[4N]
+  *     — on the identical seeded input: the sandbox evidence for the
+  *     north rule's N→4N ≥0.8 scaling-efficiency criterion
+  *     (BASELINE.json; per-core-normalized efficiency =
+  *     thr(4N) / (4 · thr(N))).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One crawl run; returns URLs-through-dedup per second. */
+  private def crawlThroughput(cores: Int, totalUrls: Long): Double = {
+    val spark = newSession(cores)
+    val wd = Files.createTempDirectory(s"graft-bench-$cores").toString
+    val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = 2,
+      numHosts = 2000, buckets = 32, budgetPerHost = 200, seed = 42L)
+    val t0 = System.nanoTime()
+    val metrics = CrawlLoop.run(spark, cfg)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val urls = metrics.map(_.n_candidates).sum
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+    urls / sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val crawlUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "1000000").toLong
+
+    // 1. read-side queries
+    val spark = newSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // 2. crawl scaling: N vs 4N cores on identical input
+    val nSmall = math.max(2, cpus / 4)
+    val thrSmall = crawlThroughput(nSmall, crawlUrls)
+    val thrBig = crawlThroughput(cpus, crawlUrls)
+    val efficiency = thrBig / (4.0 * thrSmall)
+
+    val qs = (results ++ Seq(
+      s"crawl_urls_per_sec_local$nSmall" -> thrSmall,
+      s"crawl_urls_per_sec_local$cpus" -> thrBig,
+      "crawl_scaling_efficiency" -> efficiency))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.readside.{OracleSql, Queries}
+import graft.readside.{CrawlQueries, OracleSql, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` is the operator inventory (SURVEY.md §2); every entry with a
@@ -47,7 +47,14 @@ object SparkEntry {
     "q28_knn_brute" -> (Queries.q28KnnBrute _),
     "q29_cosine_near_dup" -> (Queries.q29CosineNearDup _),
     "q30_srp_ann" -> (Queries.q30SrpAnn _),
-    "q31_fingerprint" -> (Queries.q31Fingerprint _)
+    "q31_fingerprint" -> (Queries.q31Fingerprint _),
+    "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
+    "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
+    "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),
+    "c04_lineage" -> (CrawlQueries.c04Lineage _),
+    "c05_payload_invariants" -> (CrawlQueries.c05PayloadInvariants _),
+    "c06_politeness_audit" -> (CrawlQueries.c06PolitenessAudit _),
+    "c07_payload_search" -> (CrawlQueries.c07PayloadSearch _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,8 +67,8 @@ object FrontierSynth {
       .withColumn("sitemap_seq", (col("frontier_seq") / UrlsPerSitemap).cast("long"))
       .withColumn("entry_seq", pmod(col("frontier_seq"), lit(UrlsPerSitemap)))
       .withColumn("lastmod",
-        to_timestamp(lit("2025-01-01 00:00:00")) +
-          make_interval(days = pmod(col("r1"), lit(365L)).cast("int")))
+        timestamp_add("DAY", pmod(col("r1"), lit(365L)),
+          to_timestamp(lit("2025-01-01 00:00:00"))))
       .withColumn("discovered_epoch", lit(epoch))
       .select("frontier_seq", "url", "host", "sitemap_seq", "entry_seq",
         "lastmod", "discovered_epoch")

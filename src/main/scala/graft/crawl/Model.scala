@@ -48,10 +48,15 @@ case class AdmittedUrl(
     court: String,
     host: String,
     host_bucket: Int,
+    path: String,
     sitemap_seq: Long,
     entry_seq: Long,
     discovered_epoch: Int,
-    slot: Int)
+    lastmod: Timestamp,
+    slot: Int) {
+  def toKeyed: KeyedUrl = KeyedUrl(url_canon, url_hash, docid, court, host,
+    host_bucket, path, sitemap_seq, entry_seq, discovered_epoch, lastmod)
+}
 
 /** Crawl status machine — reference
   * model/LegalDocument.java:129-131 (PENDING→DOWNLOADED→PROCESSED/FAILED)

@@ -1,0 +1,93 @@
+package graft.readside
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crawl._
+
+/** Crawl-engine operators exposed through the `SparkEntry.queries`
+  * contract (rows-only checks — the semantics aren't DuckDB-expressible;
+  * the real verification is CrawlSpec's engine⇄simulator equivalence).
+  * `sfDir` is ignored: the crawl runs over the deterministic synthetic
+  * frontier (BASELINE.json: "synthesise it deterministically at small
+  * scale"). One small crawl is memoized per JVM and shared by all
+  * entries. */
+object CrawlQueries {
+
+  private val cfgBase = CrawlConfig(workDir = "", totalUrls = 9000,
+    epochs = 3, numHosts = 60, buckets = 16, budgetPerHost = 30, seed = 42L)
+
+  @volatile private var cachedDir: String = _
+
+  private def crawlDir(spark: SparkSession): String = synchronized {
+    if (cachedDir == null) {
+      val wd = Files.createTempDirectory("graft-crawl-queries").toString
+      CrawlLoop.run(spark, cfgBase.copy(workDir = wd))
+      cachedDir = wd
+    }
+    cachedDir
+  }
+
+  /** Frontier synthesis + keying: host-bucket histogram (Zipf skew made
+    * visible: bucket of host 0 dominates). */
+  def c01FrontierSynth(s: SparkSession, dir: String): DataFrame = {
+    val keyed = FrontierSynth.key(
+      FrontierSynth.frontier(s, 10000, 60, 42L, 0), 16)
+    keyed.toDF().groupBy(col("host_bucket"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("url_hash")).as("n_distinct_urls"))
+      .orderBy(col("host_bucket"))
+  }
+
+  /** Robots admission outcome counts per court (mapGroups stage). */
+  def c02RobotsAdmission(s: SparkSession, dir: String): DataFrame = {
+    val keyed = FrontierSynth.key(
+      FrontierSynth.frontier(s, 10000, 60, 42L, 0), 16)
+    val (allowed, denied) = Robots.admit(keyed, Robots.syntheticRules(60, 42L))
+    allowed.toDF().withColumn("admitted", lit(true))
+      .unionByName(denied.toDF().withColumn("admitted", lit(false)))
+      .groupBy(col("court"), col("admitted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("court"), col("admitted"))
+  }
+
+  /** The crawl's epoch metrics table (candidates → denied/dup/seen/
+    * admitted/deferred → statuses). */
+  def c03EpochMetrics(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/metrics/epoch=*")
+      .orderBy(col("epoch"))
+
+  /** Per-partition lineage of the payload sink. */
+  def c04Lineage(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/lineage/epoch=*")
+      .orderBy(col("epoch"), col("host_bucket"))
+
+  /** Payload invariants rollup: per (fmt, status) counts + PSNR floor. */
+  def c05PayloadInvariants(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/payload")
+      .groupBy(col("fmt"), col("status"))
+      .agg(count(lit(1)).as("n"), min(col("psnr")).as("min_psnr"),
+        sum(length(col("bytes")).cast("long")).as("total_bytes"))
+      .orderBy(col("fmt"), col("status"))
+
+  /** Politeness audit: distribution of per-host admitted counts per epoch
+    * (never exceeds the budget). */
+  def c06PolitenessAudit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/payload")
+      .groupBy(col("crawl_epoch"), col("host"))
+      .agg(count(lit(1)).as("n_fetched"), max(col("slot")).as("max_slot"))
+      .groupBy(col("crawl_epoch"), col("n_fetched"))
+      .agg(count(lit(1)).as("n_hosts"), max(col("max_slot")).as("max_slot"))
+      .orderBy(col("crawl_epoch"), col("n_fetched"))
+
+  /** Search over the crawled payload (the §3.2 read-side on crawl output):
+    * caption contains + court facet + top-k by phash order. */
+  def c07PayloadSearch(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/payload")
+      .filter(col("status") === "PROCESSED" &&
+        col("caption").contains("KARE"))
+      .select(col("image_id"), col("host"), col("w"), col("h"), col("phash"))
+      .orderBy(col("image_id"))
+      .limit(50)
+}

@@ -1,0 +1,83 @@
+package graft.seen
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.crawl.KeyedUrl
+
+/** The URL-seen dedup (SURVEY.md §2.3 J1) — the one join that matters at
+  * 10^10 frontier scale.
+  *
+  * Membership rule is byte-identical to the reference
+  * (service/CrawlerOrchestrationService.java:112-117): seen ⇔ the URL was
+  * stored with terminal-success status, and ¬forceUpdate. FAILED rows are
+  * NOT seen (they become retry-eligible), so the seen store is
+  * success-only and append-mostly; explicit deletes are served by the
+  * delete-capable [[CuckooFilter]] path.
+  *
+  * Two execution strategies:
+  *  1. [[unseenExact]] — plain `left_anti` join. Always correct; at scale
+  *     both sides shuffle on url_hash (AQE handles skew).
+  *  2. [[unseenTwoTier]] — per-host-bucket bloom segments pre-filter the
+  *     candidate side, exact anti-join confirms the (few) bloom positives.
+  *     Bloom negatives are *definitely new* (no false negatives), so
+  *     byte-identical membership is preserved while the expensive exact
+  *     join sees only ~fpp + true-dup fraction of candidates. Segments are
+  *     cogrouped with candidates on host_bucket — one bloom deserialization
+  *     per bucket per task, no driver collect, no broadcast-size ceiling —
+  *     so the strategy survives 10^10 seen keys (segments stay
+  *     distributed; at that scale also store `seen` bucketed-sorted by
+  *     url_hash so the confirm join shuffles only the surviving
+  *     candidates).
+  */
+object SeenSet {
+
+  /** Exact anti-join: candidates not present in `seen(url_hash)`. */
+  def unseenExact(candidates: Dataset[KeyedUrl], seen: DataFrame): Dataset[KeyedUrl] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      .as[KeyedUrl]
+  }
+
+  /** Build one bloom segment per host_bucket from the seen store.
+    * One shuffle by bucket; each partition builds the blooms of the
+    * buckets it owns (a bucket never spans partitions), emitting
+    * (bucket, serialized segment). Mergeable: same-bucket segments union
+    * by OR (used by the incremental epoch-over-epoch path). */
+  def bloomSegments(seen: DataFrame, buckets: Int, expectedPerBucket: Long,
+      fpp: Double): Dataset[(Int, Array[Byte])] = {
+    val spark = seen.sparkSession
+    import spark.implicits._
+    seen.select(col("host_bucket").cast("int"), col("url_hash").cast("long"))
+      .repartition(buckets, col("host_bucket"))
+      .as[(Int, Long)]
+      .mapPartitions { rows =>
+        val blooms = scala.collection.mutable.Map.empty[Int, LongBloom]
+        rows.foreach { case (b, h) =>
+          blooms.getOrElseUpdate(b, LongBloom.create(expectedPerBucket, fpp)).put(h)
+        }
+        blooms.iterator.map { case (b, f) => (b, f.serialize()) }
+      }
+  }
+
+  /** Two-tier unseen: bloom pre-filter (cogrouped by bucket) + exact
+    * confirm of bloom positives. Returns exactly `unseenExact`'s rows. */
+  def unseenTwoTier(candidates: Dataset[KeyedUrl], seen: DataFrame,
+      segments: Dataset[(Int, Array[Byte])]): Dataset[KeyedUrl] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val flagged = candidates.groupByKey(_.host_bucket)
+      .cogroup(segments.groupByKey(_._1)) { (_, cands, segs) =>
+        val bloom = segs.map(s => LongBloom.deserialize(s._2))
+          .reduceOption(_ union _)
+        bloom match {
+          case None => cands.map(c => (c, false)) // empty bucket: all new
+          case Some(f) => cands.map(c => (c, f.mightContain(c.url_hash)))
+        }
+      }
+    val definitelyNew = flagged.filter(!_._2).map(_._1)
+    val maybeSeen = flagged.filter(_._2).map(_._1)
+    // unionByName: the anti-join reorders url_hash to the front
+    definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference streams by
+  * cron re-runs (service/ScheduledCrawlerService.java:35-126); the Spark
+  * restatement is a real incremental pipeline: file-source readStream →
+  * watermark → windowed aggregation → sink, plus a
+  * `mapGroupsWithState` sessionizer for the stateful shape (ST1's
+  * epoch-over-epoch state, expressed as per-key streaming state).
+  *
+  * Batch/stream parity: every transform is also applicable to a static
+  * DataFrame (same function), which is how the specs verify results —
+  * `Trigger.AvailableNow` over a static directory must equal the batch
+  * run.
+  */
+object EventStreams {
+
+  /** Windowed per-type counts with a watermark for late data.
+    * (Parquet timestamps infer as TIMESTAMP_NTZ on Spark 4; watermarks
+    * need TimestampType, so normalize first.) */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(count: Long, lastTs: Long)
+
+  case class UserSession(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Per-user session roll-up via mapGroupsWithState — the custom-state
+    * operator shape (ST1's epoch-over-epoch state as per-key streaming
+    * state). Timeout-driven session close is omitted here: processing-time
+    * timeouts schedule empty timeout batches every trigger, which on a
+    * shell-exec'd local HDFS state store makes tests pathologically slow;
+    * at scale you'd enable EventTimeTimeout against the watermark. */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+          var cnt = prev.count
+          var last = prev.lastTs
+          rows.foreach { e => cnt += 1; last = math.max(last, e.ts.getTime) }
+          state.update(SessionState(cnt, last))
+          UserSession(userId, cnt, closed = false)
+        })
+  }
+
+  /** Run the windowed aggregation as a real stream over a parquet
+    * directory with AvailableNow, collecting to a memory sink; returns
+    * the sink table name. */
+  def runWindowedOverDirectory(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = windowedCounts(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed counts (AvailableNow) ≡ batch run over the same files") {
+    // file stream source needs a directory — stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf("sf0.001")}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = EventStreams.runWindowedOverDirectory(spark, dir, "win_test")
+      .select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().sortBy(t => (t._1.getTime, t._2))
+    // append mode emits only windows finalized below the watermark
+    // (wm = max_ts − 1h); restrict the batch reference identically
+    val maxTs = spark.read.parquet(dir)
+      .agg(max($"ts".cast("timestamp"))).head().getTimestamp(0).getTime
+    val wm = maxTs - 3600 * 1000L
+    val batch = EventStreams.windowedCounts(spark.read.parquet(dir))
+      .select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .filter(t => t._1.getTime + 3600 * 1000L <= wm)
+      .sortBy(t => (t._1.getTime, t._2))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize with mapGroupsWithState over a rate-limited stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS())
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("sessions_test")
+      .start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      input.addData(
+        EventStreams.Event(1, t0, 10L, "view", 1.0),
+        EventStreams.Event(2, t0, 10L, "click", 2.0),
+        EventStreams.Event(3, t0, 20L, "view", 3.0))
+      q.processAllAvailable()
+      val snap = spark.table("sessions_test")
+        .groupBy($"user_id").agg(max($"n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(snap(10L) == 2 && snap(20L) == 1)
+      input.addData(EventStreams.Event(4, t0, 10L, "purchase", 4.0))
+      q.processAllAvailable()
+      val snap2 = spark.table("sessions_test")
+        .groupBy($"user_id").agg(max($"n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(snap2(10L) == 3)
+    } finally q.stop()
+  }
+}
