@@ -48,6 +48,11 @@ object SparkEntry {
     "q29_cosine_near_dup" -> (Queries.q29CosineNearDup _),
     "q30_srp_ann" -> (Queries.q30SrpAnn _),
     "q31_fingerprint" -> (Queries.q31Fingerprint _),
+    "q32_sort_param" -> (Queries.q32SortParam _),
+    "q33_strided_sample" -> (Queries.q33StridedSample _),
+    "q34_fulltext_assembly" -> (Queries.q34FulltextAssembly _),
+    "q35_ecli_extract" -> (Queries.q35EcliExtract _),
+    "q36_bloom_udaf" -> (Queries.q36BloomUdaf _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

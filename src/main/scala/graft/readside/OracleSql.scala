@@ -248,6 +248,55 @@ object OracleSql {
       SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       FROM k GROUP BY 1 ORDER BY k_bucket""",
 
+    "q32_sort_param" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+
+    "q33_strided_sample" -> """
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+               TIMESTAMP '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      SELECT d, CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS i
+      FROM days
+      WHERE datediff('day', DATE '1995-01-01', d) % 7 = 0
+      ORDER BY d""",
+
+    "q34_fulltext_assembly" -> """
+      WITH assembled AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                 concat_ws(' | ', source, lang,
+                   CASE WHEN length(text) > 10 THEN text ELSE '' END),
+                 '\s+', ' ', 'g'), '\|', '/', 'g')) AS full_text
+        FROM documents)
+      SELECT doc_id, full_text, CAST(length(full_text) AS BIGINT) AS ft_len
+      FROM assembled ORDER BY doc_id""",
+
+    "q35_ecli_extract" -> """
+      WITH bodies AS (
+        SELECT doc_id,
+               printf('ruling ECLI:DE:BGH:2023:%d cites ecli:de:bag:2021:%d and ECLI:XX:BGH:2023:%d dup ECLI:DE:BGH:2023:%d',
+                      doc_id, doc_id, doc_id, doc_id) AS body
+        FROM documents),
+      extracted AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                 list_transform(
+                   regexp_extract_all(upper(body),
+                     '(ECLI:)?[A-Z]{2}:[A-Z][A-Z0-9]{0,6}:[0-9]{4}:[A-Z0-9.]{1,25}'),
+                   x -> CASE WHEN starts_with(x, 'ECLI:') OR starts_with(x, 'EU:')
+                             THEN x ELSE 'ECLI:' || x END),
+                 x -> regexp_matches(x, '^ECLI:[A-Z]{2}:[A-Z][A-Z0-9]{0,6}:[0-9]{4}:[A-Z0-9.]{1,25}$')
+                      AND split_part(x, ':', 2) IN
+                        ('AT','BE','BG','HR','CY','CZ','DK','EE','FI','FR','DE','GR',
+                         'HU','IE','IT','LV','LT','LU','MT','NL','PL','PT','RO','SK',
+                         'SI','ES','SE','EL','UK','EU')
+                      AND CAST(split_part(x, ':', 4) AS INT) BETWEEN 1900 AND 2027))) AS eclis
+        FROM bodies)
+      SELECT doc_id, CAST(len(eclis) AS BIGINT) AS n_eclis,
+             array_to_string(eclis, ',') AS eclis_csv
+      FROM extracted ORDER BY doc_id""",
+
     "q28_knn_brute" -> """
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
       s AS (

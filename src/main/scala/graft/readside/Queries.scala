@@ -290,23 +290,53 @@ object Queries {
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
-    * Spark-only (shingle→minhash→band→bucket-join→verify). */
+    * Spark-only. Relational shape (the one that scales AND stays inside
+    * whole-stage codegen): explode shingles once → hash-aggregate the
+    * 16-wide signature (min per seed) → band keys → band self-join for
+    * candidates → relational jaccard (shingle equi-join intersection
+    * counts). The nested higher-order-function form recomputes the
+    * shingle expression per seed×band×comparison under CollapseProject
+    * and falls out of codegen — measured ~1000× slower. */
   def q27MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), SimilarityFunctions.charShingles(col("text"), 5).as("sh"))
-      .withColumn("sig", SimilarityFunctions.minhashSignature(col("sh"), 16))
-      .withColumn("bands", SimilarityFunctions.lshBandKeys(col("sig"), 4, 4))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band_i", "band_key")))
+    val numHashes = 16
+    val bands = 4
+    val rowsPerBand = 4
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(SimilarityFunctions.charShingles(col("text"), 5)).as("shingle"))
+      .persist()
+    // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side partial
+    val sig = exploded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"),
+        (0 until numHashes).map(i =>
+          min(xxhash64(col("shingle"), lit(i))).as(s"h$i")): _*)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_i"), xxhash64(concat_ws("_", slice: _*)).as("band_key"))
+    }
+    val banded = sig.select(col("doc_id"), col("sz"),
+      explode(array(bandKeys: _*)).as("band"))
+      .select(col("doc_id"), col("sz"), col("band.band_i"), col("band.band_key"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_i") === col("b.band_i") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    cand.withColumn("jaccard",
-        round(SimilarityFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
+    // relational jaccard: |A∩B| via shingle equi-join, restricted to
+    // candidate docs first (semi-join) so the pair blow-up is bounded by
+    // the LSH candidate set, not the corpus
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val expl2 = exploded.join(candIds, Seq("doc_id"), "left_semi")
+    val inter = expl2.as("x").join(expl2.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .withColumn("jaccard", round(col("n_inter") /
+        (col("sz_a") + col("sz_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.35)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -362,4 +392,73 @@ object Queries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") >= 2)
       .orderBy(col("keep_id"))
+
+  /** O3: generic "field asc|desc" sort-string parser (reference parses
+    * Solr sort strings at repository/SolrDocumentRepository.java:339-364). */
+  def q32SortParam(s: SparkSession, dir: String): DataFrame = {
+    val sortSpec = "o_totalprice desc" // would arrive from the API caller
+    val Array(field, dirn) = sortSpec.split("\\s+")
+    val sortCol = if (dirn.equalsIgnoreCase("desc")) col(field).desc else col(field).asc
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(sortCol, col("o_orderkey"))
+      .limit(15)
+  }
+
+  /** U2: deterministic strided sampling of a date range (recent-first
+    * discovery stride, service/SitemapDiscoveryService.java:408-441). */
+  def q33StridedSample(s: SparkSession, dir: String): DataFrame =
+    s.sql("SELECT explode(sequence(DATE'1995-01-01', DATE'1995-12-31', interval 1 day)) AS d")
+      .withColumn("i", datediff(col("d"), lit("1995-01-01").cast("date")).cast("bigint"))
+      .filter(pmod(col("i"), lit(7)) === 0)
+      .select(col("d"), col("i"))
+      .orderBy(col("d"))
+
+  /** P11+P12: full-text assembly (concat_ws over fields, len>threshold
+    * guard) + text cleaning (collapse \s+, strip |, trim). */
+  def q34FulltextAssembly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(
+          concat_ws(" | ", col("source"), col("lang"),
+            when(length(col("text")) > 10, col("text")).otherwise(lit(""))),
+          "\\s+", " "), "\\|", "/")).as("full_text"))
+      .withColumn("ft_len", length(col("full_text")).cast("bigint"))
+      .orderBy(col("doc_id"))
+
+  /** A12/P16: distinct valid ECLIs extracted per document from constructed
+    * mixed-validity text (regexp_extract_all → validate → array_distinct). */
+  def q35EcliExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        format_string("ruling ECLI:DE:BGH:2023:%d cites ecli:de:bag:2021:%d and ECLI:XX:BGH:2023:%d dup ECLI:DE:BGH:2023:%d",
+          col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id")).as("body"))
+      .select(col("doc_id"),
+        array_sort(EcliFunctions.extractEclis(col("body"), 2026)).as("eclis"))
+      .withColumn("n_eclis", size(col("eclis")).cast("bigint"))
+      .select(col("doc_id"), col("n_eclis"), concat_ws(",", col("eclis")).as("eclis_csv"))
+      .orderBy(col("doc_id"))
+
+  /** Bloom-segment UDAF (2-phase aggregation contract): one bloom per
+    * host-bucket over the synthetic frontier; emits bucket + filter size +
+    * a probe self-check (all own keys found — no false negatives).
+    * Spark-only. */
+  def q36BloomUdaf(s: SparkSession, dir: String): DataFrame = {
+    import graft.seen.{BloomAggregator, LongBloom}
+    val keyed = graft.crawl.FrontierSynth.key(
+      graft.crawl.FrontierSynth.frontier(s, 5000, 40, 42L, 0), 8).toDF()
+    val segs = keyed.groupBy(col("host_bucket"))
+      .agg(BloomAggregator.bloomAgg(col("url_hash"), 4096, 0.01).as("bloom"))
+    val spark = s
+    import spark.implicits._
+    val hashes = keyed.select(col("host_bucket"), col("url_hash"))
+      .as[(Int, Long)].collect().groupBy(_._1)
+    val bcast = s.sparkContext.broadcast(hashes)
+    segs.as[(Int, Array[Byte])].map { case (bucket, bytes) =>
+      val f = LongBloom.deserialize(bytes)
+      val own = bcast.value.getOrElse(bucket, Array.empty)
+      (bucket, bytes.length, own.length, own.count(h => f.mightContain(h._2)))
+    }.toDF("host_bucket", "bloom_bytes", "n_keys", "n_found")
+      .orderBy(col("host_bucket"))
+  }
 }
