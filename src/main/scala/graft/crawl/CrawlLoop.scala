@@ -128,11 +128,19 @@ object CrawlLoop {
 
     writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
 
-    val statusCounts = results.groupByKey(_.status).count().collect().toMap
-    val bytesWritten = results.toDF()
-      .agg(coalesce(sum(length(col("bytes")).cast("long")), lit(0L)))
-      .head().getLong(0)
-    val nHosts = admitted.map(_.host).distinct().count()
+    // one pass over results for all outcome metrics
+    val mrow = results.toDF().agg(
+      count(when(col("status") === Status.Processed, 1)).as("p"),
+      count(when(col("status") === Status.Failed, 1)).as("f"),
+      count(when(col("status") === Status.Rejected, 1)).as("r"),
+      coalesce(sum(length(col("bytes")).cast("long")), lit(0L)).as("b"),
+      countDistinct(col("host")).as("h")).head()
+    val statusCounts = Map(
+      Status.Processed -> mrow.getLong(0),
+      Status.Failed -> mrow.getLong(1),
+      Status.Rejected -> mrow.getLong(2))
+    val bytesWritten = mrow.getLong(3)
+    val nHosts = mrow.getLong(4)
     val m = EpochMetrics(epoch, nCandidates, nDenied,
       n_dup_in_epoch = (nCandidates - nDenied) - nDeduped,
       n_seen_skipped = nDeduped - nUnseen,

@@ -44,7 +44,8 @@ object Robots {
     val flagged = candidates.groupByKey(_.host).flatMapGroups { (host, rows) =>
       val rule = bc.value.get(host)
       rows.map(r => (r, Robots.allows(rule, r.path)))
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: both splits reuse one pass over the grouped shuffle
     (flagged.filter(_._2).map(_._1), flagged.filter(!_._2).map(_._1))
   }
 }

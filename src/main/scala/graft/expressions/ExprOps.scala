@@ -94,6 +94,28 @@ object ExprOps {
     x
   }
 
+  /** Sign-random-projection LSH bucket for a float embedding: `nBits`
+    * deterministic hash-derived hyperplanes; sign bits packed to a long.
+    * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */
+  def srpBucket(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val h = mix(seed ^ (b.toLong << 32) ^ i.toLong)
+        val u = java.lang.Long.remainderUnsigned(h, 1000003L).toDouble / 1000003.0 - 0.5
+        proj += vec.getFloat(i).toDouble * u
+        i += 1
+      }
+      if (proj > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Cosine similarity between two float arrays, accumulated in double.
     * Null-element-free arrays assumed (our embedding columns). Length
     * mismatch → uses common prefix; zero norm → 0.0. */

@@ -58,6 +58,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.srpBucket(v.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.srpBucket($c, $nBits, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): SrpBucketExpr = copy(child = c)
+  override def prettyName: String = "srp_bucket"
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -70,4 +82,7 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def srpBucket(vec: Column, nBits: Int = 8, seed: Long = 42L): Column =
+    Bridge.column(SrpBucketExpr(Bridge.expression(vec), nBits, seed))
 }

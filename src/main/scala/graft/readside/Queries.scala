@@ -301,9 +301,23 @@ object Queries {
     val numHashes = 16
     val bands = 4
     val rowsPerBand = 4
-    val exploded = t(s, dir, "documents")
+    // repartition before the explode: a single parquet file would put the
+    // whole (interpreted higher-order) shingling in one task
+    val raw = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(SimilarityFunctions.charShingles(col("text"), 5)).as("shingle"))
+      .persist()
+    // stop-shingle removal (Broder-style): shingles present in >50% of the
+    // corpus carry no dedup signal but dominate every minhash min —
+    // without this, band buckets collapse into O(corpus) blobs and the
+    // candidate set goes quadratic.
+    val nDocs = t(s, dir, "documents").count()
+    val stopShingles = raw.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > nDocs / 2)
+      .select(col("shingle"))
+    val exploded = raw.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
       .persist()
     // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side partial
     val sig = exploded.groupBy(col("doc_id"))
@@ -324,15 +338,19 @@ object Queries {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
-    // relational jaccard: |A∩B| via shingle equi-join, restricted to
-    // candidate docs first (semi-join) so the pair blow-up is bounded by
-    // the LSH candidate set, not the corpus
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val expl2 = exploded.join(candIds, Seq("doc_id"), "left_semi")
-    val inter = expl2.as("x").join(expl2.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .persist() // reused by both the jaccard join and the final join
+    // relational jaccard: |A∩B| driven from the candidate-pair table —
+    // NOT a raw shingle self-join, which blows up quadratically on
+    // high-document-frequency shingles (every common shingle pairs all
+    // docs containing it). Expanding pairs→(pair, left-shingle) and
+    // hash-joining on (right-doc, shingle) keeps the row count at
+    // |pairs| × avg-shingles, independent of shingle popularity.
+    val leftSh = cand.select(col("id_a"), col("id_b"))
+      .join(exploded.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+    val inter = leftSh.join(
+        exploded.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     cand.join(inter, Seq("id_a", "id_b"))
       .withColumn("jaccard", round(col("n_inter") /
@@ -358,7 +376,10 @@ object Queries {
   /** Embedding-cosine near-dup pairs above a threshold (exact pass).
     * The LSH-bucketed scale path is q30. */
   def q29CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    // repartition the probe side: a single parquet file otherwise puts the
+    // whole O(n²) pair loop in one task
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos_raw"))
@@ -373,7 +394,8 @@ object Queries {
   def q30SrpAnn(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", SimilarityFunctions.srpBucket(col("embedding"), 8, 64))
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("bucket", GraftFunctions.srpBucket(col("embedding"), 8))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -74,7 +74,8 @@ object SeenSet {
           case None => cands.map(c => (c, false)) // empty bucket: all new
           case Some(f) => cands.map(c => (c, f.mightContain(c.url_hash)))
         }
-      }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the definitely-new and confirm branches share one probe pass
     val definitelyNew = flagged.filter(!_._2).map(_._1)
     val maybeSeen = flagged.filter(_._2).map(_._1)
     // unionByName: the anti-join reorders url_hash to the front
