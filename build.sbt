@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ParallelGC: measured ~30% faster than G1 on the shuffle/object-heavy
+  // crawl benchmark (batch throughput >> pause latency here)
+  "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.crawl.{CrawlConfig, CrawlLoop}
+
+/** Single-parallelism crawl benchmark for clean (fresh-JVM) scaling
+  * measurements: `graft.CrawlBench <cores> <totalUrls>` prints one line
+  * `CRAWL_BENCH cores=<c> urls=<n> sec=<s> urls_per_sec=<r>`. */
+object CrawlBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val totalUrls = args(1).toLong
+    val shufflePartitions = if (args.length > 2) args(2).toInt else cores * 2
+    val numHosts = if (args.length > 3) args(3).toInt else 4000
+    val budget = if (args.length > 4) args(4).toInt else 1500
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-crawl-bench-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wd = sys.env.get("SPARK_GRAFT_BENCH_DIR") match {
+      case Some(base) =>
+        Files.createDirectories(java.nio.file.Paths.get(base))
+        Files.createTempDirectory(java.nio.file.Paths.get(base), s"crawl-$cores").toString
+      case None => Files.createTempDirectory(s"graft-crawl-bench-$cores").toString
+    }
+    val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = 2,
+      numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L)
+    val t0 = System.nanoTime()
+    val metrics = CrawlLoop.run(spark, cfg)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val urls = metrics.map(_.n_candidates).sum
+    println(f"CRAWL_BENCH cores=$cores urls=$urls sec=$sec%.2f urls_per_sec=${urls / sec}%.1f")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wd))
+  }
+}

@@ -24,19 +24,21 @@ case class CrawlConfig(
   def urlsPerEpoch: Long = totalUrls / epochs
 }
 
-/** The epoch fixpoint loop: synth-slice → key → robots admit → intra-epoch
-  * dedup → seen anti-join (two-tier bloom + exact confirm) → politeness
-  * budget → simulated fetch/validate → partitioned sink + seen delta +
-  * deferred + retry + metrics + lineage, committed per epoch with an
-  * atomic marker for resume (ST4).
+/** The epoch fixpoint loop: synth-slice → key → intra-epoch dedup →
+  * seen filter (broadcast bloom probe + exact confirm) → fused host stage
+  * (robots admission + politeness rank + budget in one pass) → simulated
+  * fetch/validate → partitioned sink + seen delta + deferred + retry +
+  * metrics + lineage, committed per epoch with an atomic marker for
+  * resume (ST4).
   *
   * Shuffle budget per epoch (the thing that must survive 1000 executors ×
-  * 10^10 rows): (1) groupByKey(host) for robots, (2) url_hash window for
-  * intra-epoch dedup, (3) host_bucket cogroup for the bloom + url_hash
-  * anti-join on the bloom-surviving slice, (4) host window for politeness
-  * (fed by the map-side partial top-k, so the mega-host ships ≤
-  * budget×partitions rows), (5) the partitioned write. Everything else is
-  * narrow.
+  * 10^10 rows): (1) url_hash window for intra-epoch dedup, whose hash
+  * partitioning the exact-confirm anti-join reuses — and the anti-join
+  * only sees the bloom-positive sliver because the bloom probe is a
+  * broadcast predicate, not a shuffle; (2) one repartition(host)+sort for
+  * the fused robots+politeness stage (streamed per-host run-length pass —
+  * a Zipf mega-host costs one task's time, never one task's memory);
+  * (3) the partitioned write. Everything else is narrow.
   */
 object CrawlLoop {
 
@@ -74,61 +76,82 @@ object CrawlLoop {
       .unionByName(readKeyed(spark, s"${cfg.workDir}/retry/epoch=${epoch - 1}"))
     val candidates = newKeyed.unionByName(carried)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch candidates")
     val nCandidates = candidates.count()
 
-    // 2. robots admission (mapGroups, deny-by-default, broadcast rules)
-    val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
-    val (allowed0, denied) = Robots.admit(candidates, rules)
-    val allowed = allowed0.persist(StorageLevel.MEMORY_AND_DISK)
-    val nDenied = denied.count()
-
-    // 3. intra-epoch first-occurrence dedup
-    val deduped = Politeness.dedupWithinEpoch(allowed)
+    // 2. intra-epoch first-occurrence dedup (url_hash window). Duplicates
+    // share the canonical URL, so dedup-before-robots is interchangeable
+    // with robots-before-dedup for membership/traces; doing it first lets
+    // the anti-join reuse the url_hash partitioning.
+    val deduped = Politeness.dedupWithinEpoch(candidates)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch dedup")
     val nDeduped = deduped.count()
 
-    // 4. URL-seen anti-join (success-only store; forceUpdate bypasses)
+    // 3. URL-seen anti-join (success-only store; forceUpdate bypasses).
+    // Two-tier: broadcast bloom probe (no shuffle) + exact confirm of the
+    // positives; segments stay distributed (cogroup path) only when too
+    // big to broadcast.
     val seen = readSeen(spark, cfg.workDir, epoch)
-    val unseen = (if (cfg.forceUpdate) deduped
-      else if (cfg.useBloom && seen != null) {
+    val unseen = (if (cfg.forceUpdate || seen == null) deduped
+      else if (cfg.useBloom) {
         val expectedPerBucket = math.max(64L,
           (epoch.toLong * cfg.urlsPerEpoch) / cfg.buckets)
         val segments = SeenSet.bloomSegments(seen, cfg.buckets,
           expectedPerBucket, cfg.bloomFpp)
-        SeenSet.unseenTwoTier(deduped, seen, segments)
-      } else if (seen != null) SeenSet.unseenExact(deduped, seen)
-      else deduped).persist(StorageLevel.MEMORY_AND_DISK)
+        SeenSet.unseenTwoTierBroadcast(deduped, seen, segments)
+      } else SeenSet.unseenExact(deduped, seen))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch seen-filter")
     val nUnseen = unseen.count()
 
-    // 5. politeness budget (window-ranked per-host priority queue)
-    val (admitted0, deferred) = Politeness.admit(unseen, cfg.budgetPerHost)
-    val admitted = admitted0.persist(StorageLevel.MEMORY_AND_DISK)
-    val nAdmitted = admitted.count()
+    // 4. fused host stage: robots admission + politeness rank + budget in
+    // one repartition(host)+sort+streamed pass
+    val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
+    val scheduled = Politeness.schedule(unseen, rules, cfg.budgetPerHost)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch host-schedule")
+    val schedCounts = scheduled.groupByKey(_._2).count().collect().toMap
+    val nDenied = schedCounts.getOrElse(Politeness.Sched.Denied, 0L)
+    val nAdmitted = schedCounts.getOrElse(Politeness.Sched.Admitted, 0L)
+    val nDeferred = schedCounts.getOrElse(Politeness.Sched.Deferred, 0L)
+    val admitted = scheduled.filter(_._2 == Politeness.Sched.Admitted)
+      .map { case (k, _, slot) => AdmittedUrl(k.url_canon, k.url_hash,
+        k.docid, k.court, k.host, k.host_bucket, k.path, k.sitemap_seq,
+        k.entry_seq, k.discovered_epoch, k.lastmod, slot) }
+    val deferred = scheduled.filter(_._2 == Politeness.Sched.Deferred).map(_._1)
 
-    // 6. simulated fetch + decode + invariant validation
+    // 5. simulated fetch + decode + invariant validation
     val results = Fetch.fetch(admitted, epoch).persist(StorageLevel.MEMORY_AND_DISK)
 
     // 7. sinks (idempotent per epoch)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
     PayloadSink.write(results, cfg.workDir)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
     PayloadSink.writeLineage(PayloadSink.lineage(results, epoch), cfg.workDir, epoch)
 
     // seen delta = terminal-success rows only (reference guard:
     // status==DOWNLOADED ⇒ skip; CrawlerOrchestrationService.java:114-115)
+    spark.sparkContext.setJobDescription(s"epoch=$epoch seen-write")
     results.filter(_.status == Status.Processed)
       .map(r => (r.url_hash, r.host_bucket))
       .toDF("url_hash", "host_bucket")
       .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/seen/epoch=$epoch")
+    spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
 
-    // retry queue = transient/corrupt FAILED rows, eligible next epoch
-    val failedHashes = results.filter(_.status == Status.Failed)
-      .map(_.url_hash).toDF("url_hash")
-    admitted.join(failedHashes, Seq("url_hash"), "left_semi")
-      .as[AdmittedUrl].map(_.toKeyed)
+    // retry queue = transient/corrupt FAILED rows, eligible next epoch.
+    // Fetch outcomes are deterministic in (url_hash, epoch), so the retry
+    // rows are recomputable from `admitted` without joining back to
+    // `results` (no extra shuffle).
+    admitted.filter(a => Outcomes.of(a.url_hash, epoch) == Status.Failed)
+      .map(_.toKeyed)
       .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/retry/epoch=$epoch")
 
+    spark.sparkContext.setJobDescription(s"epoch=$epoch deferred-write")
     writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
 
     // one pass over results for all outcome metrics
+    spark.sparkContext.setJobDescription(s"epoch=$epoch result-metrics")
     val mrow = results.toDF().agg(
       count(when(col("status") === Status.Processed, 1)).as("p"),
       count(when(col("status") === Status.Failed, 1)).as("f"),
@@ -142,10 +165,10 @@ object CrawlLoop {
     val bytesWritten = mrow.getLong(3)
     val nHosts = mrow.getLong(4)
     val m = EpochMetrics(epoch, nCandidates, nDenied,
-      n_dup_in_epoch = (nCandidates - nDenied) - nDeduped,
+      n_dup_in_epoch = nCandidates - nDeduped,
       n_seen_skipped = nDeduped - nUnseen,
       n_admitted = nAdmitted,
-      n_deferred = nUnseen - nAdmitted,
+      n_deferred = nDeferred,
       n_processed = statusCounts.getOrElse(Status.Processed, 0L),
       n_failed = statusCounts.getOrElse(Status.Failed, 0L),
       n_rejected = statusCounts.getOrElse(Status.Rejected, 0L),
@@ -157,8 +180,8 @@ object CrawlLoop {
     // flips the epoch to "done" (Iceberg-snapshot stand-in)
     commit(spark, cfg.workDir, m)
 
-    Seq(candidates, allowed, deduped, unseen, admitted, results)
-      .foreach(_.unpersist())
+    candidates.unpersist(); deduped.unpersist(); unseen.unpersist()
+    scheduled.unpersist(); results.unpersist()
     m
   }
 

@@ -70,6 +70,50 @@ object Politeness {
     (admitted, deferred)
   }
 
+  /** Row states emitted by the fused host stage. */
+  object Sched {
+    val Admitted = "ADMITTED"
+    val Deferred = "DEFERRED"
+    val Denied = "DENIED"
+  }
+
+  /** Fused per-host stage: robots admission + politeness ranking + budget
+    * in ONE shuffle — repartition by host, sort within partitions by the
+    * reference order, then a streamed per-host run-length pass assigning
+    * slots under the budget with broadcast robots rules (the north rule's
+    * "Catalyst-friendly mapGroups stage", expressed as
+    * repartition+sortWithinPartitions+mapPartitions so the sort is the
+    * shuffle's sort, groups never materialize, and the mega-host costs one
+    * task's time, never one task's memory).
+    *
+    * Output: (row, state, slot): ADMITTED (slot 1..budget), DEFERRED
+    * (carried to the next epoch), DENIED (robots; terminal). */
+  def schedule(unseen: Dataset[KeyedUrl], rules: Map[String, RobotsRule],
+      budgetPerHost: Int): Dataset[(KeyedUrl, String, Int)] = {
+    val spark = unseen.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules)
+    unseen
+      .repartition(col("host"))
+      .sortWithinPartitions(col("host"), col("discovered_epoch"),
+        col("sitemap_seq"), col("entry_seq"))
+      .mapPartitions { rows =>
+        var currentHost: String = null
+        var rule: Option[RobotsRule] = None
+        var slot = 0
+        rows.map { r =>
+          if (r.host != currentHost) {
+            currentHost = r.host
+            rule = bc.value.get(r.host)
+            slot = 0
+          }
+          if (!Robots.allows(rule, r.path)) (r, Sched.Denied, 0)
+          else if (slot < budgetPerHost) { slot += 1; (r, Sched.Admitted, slot) }
+          else (r, Sched.Deferred, 0)
+        }
+      }
+  }
+
   /** First-occurrence-per-URL within an epoch's candidate set — the
     * sequential reference loop skips a duplicate because the first
     * occurrence was already saved moments earlier

@@ -82,14 +82,14 @@ object Simulator {
       for (e <- candidates) {
         val canon = canonicalize(e.url)
         val h = xxh64(canon)
-        if (!Robots.allows(rules.get(e.host), path(canon))) {
-          denied(epoch) += 1
-        } else if (processedThisEpoch.contains(h)) {
+        if (processedThisEpoch.contains(h)) {
           dups(epoch) += 1 // intra-epoch duplicate: first occurrence won
         } else {
           processedThisEpoch += h
           if (seen.contains(h) && !forceUpdate) {
             seenSkipped(epoch) += 1
+          } else if (!Robots.allows(rules.get(e.host), path(canon))) {
+            denied(epoch) += 1
           } else if (hostCount(e.host) < budgetPerHost) {
             val slot = hostCount(e.host) + 1
             hostCount(e.host) = slot

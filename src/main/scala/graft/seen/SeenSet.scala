@@ -60,6 +60,37 @@ object SeenSet {
       }
   }
 
+  /** Two-tier unseen with a BROADCAST bloom probe: segments are collected
+    * (they are tiny relative to the seen set — ~1.2 bytes/key at 1% fpp),
+    * broadcast, and probed by a predicate on (host_bucket, url_hash) —
+    * no shuffle, rows stay in Tungsten format. Bloom positives are
+    * confirmed by the exact anti-join; negatives are definitely new.
+    * Returns exactly `unseenExact`'s rows.
+    *
+    * Scale envelope: at 10^9 seen keys the segment set is ~1.2 GB — still
+    * broadcastable; beyond that use [[unseenTwoTier]] (cogrouped segments,
+    * fully distributed). */
+  def unseenTwoTierBroadcast(candidates: Dataset[KeyedUrl], seen: DataFrame,
+      segments: Dataset[(Int, Array[Byte])]): Dataset[KeyedUrl] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val segMap = segments.collect().groupBy(_._1).map { case (b, segs) =>
+      b -> segs.map(s => LongBloom.deserialize(s._2)).reduce(_ union _)
+    }
+    val bc = spark.sparkContext.broadcast(segMap)
+    val mightContain = org.apache.spark.sql.functions.udf(
+      (bucket: Int, hash: Long) =>
+        bc.value.get(bucket).exists(_.mightContain(hash)))
+    val flagged = candidates
+      .withColumn("maybe_seen__", mightContain(col("host_bucket"), col("url_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = flagged.filter(!col("maybe_seen__"))
+      .drop("maybe_seen__").as[KeyedUrl]
+    val maybeSeen = flagged.filter(col("maybe_seen__"))
+      .drop("maybe_seen__").as[KeyedUrl]
+    definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+  }
+
   /** Two-tier unseen: bloom pre-filter (cogrouped by bucket) + exact
     * confirm of bloom positives. Returns exactly `unseenExact`'s rows. */
   def unseenTwoTier(candidates: Dataset[KeyedUrl], seen: DataFrame,
