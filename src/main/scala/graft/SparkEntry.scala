@@ -53,13 +53,16 @@ object SparkEntry {
     "q34_fulltext_assembly" -> (Queries.q34FulltextAssembly _),
     "q35_ecli_extract" -> (Queries.q35EcliExtract _),
     "q36_bloom_udaf" -> (Queries.q36BloomUdaf _),
+    "q37_metadata_map" -> (Queries.q37MetadataMap _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),
     "c04_lineage" -> (CrawlQueries.c04Lineage _),
     "c05_payload_invariants" -> (CrawlQueries.c05PayloadInvariants _),
     "c06_politeness_audit" -> (CrawlQueries.c06PolitenessAudit _),
-    "c07_payload_search" -> (CrawlQueries.c07PayloadSearch _)
+    "c07_payload_search" -> (CrawlQueries.c07PayloadSearch _),
+    "c08_latest_docs" -> (CrawlQueries.c08LatestDocs _),
+    "c09_reject_reasons" -> (CrawlQueries.c09RejectReasons _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

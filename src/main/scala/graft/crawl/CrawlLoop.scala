@@ -1,7 +1,7 @@
 package graft.crawl
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.seen.SeenSet
@@ -20,9 +20,17 @@ case class CrawlConfig(
     seed: Long = 42L,
     bloomFpp: Double = 0.01,
     useBloom: Boolean = true,
-    forceUpdate: Boolean = false) {
+    forceUpdate: Boolean = false,
+    /** ST5 watchdog: an epoch running longer than this is cancelled and
+      * marked FAILED (reference: 6 h stuck-operation timeout,
+      * service/BulkCrawlerService.java:302-318). Default: disabled. */
+    stuckTimeoutMs: Long = Long.MaxValue) {
   def urlsPerEpoch: Long = totalUrls / epochs
 }
+
+/** Thrown when the ST5 watchdog reaps a stuck epoch. */
+final class StuckEpochException(val epoch: Int, timeoutMs: Long)
+  extends RuntimeException(s"epoch $epoch exceeded ${timeoutMs}ms; cancelled and marked FAILED")
 
 /** The epoch fixpoint loop: synth-slice → key → intra-epoch dedup →
   * seen filter (broadcast bloom probe + exact confirm) → fused host stage
@@ -46,10 +54,41 @@ object CrawlLoop {
     * this invocation (kill/resume testing). Resume = next epoch after the
     * last commit marker. */
   def run(spark: SparkSession, cfg: CrawlConfig,
-      stopAfter: Int = Int.MaxValue): Seq[EpochMetrics] = {
+      stopAfter: Int = Int.MaxValue,
+      store: PayloadStore = PayloadSink): Seq[EpochMetrics] = {
     val resumeFrom = lastCommittedEpoch(spark, cfg.workDir) + 1
     val until = math.min(cfg.epochs.toLong, resumeFrom.toLong + stopAfter.toLong).toInt
-    (resumeFrom until until).map(e => runEpoch(spark, cfg, e))
+    (resumeFrom until until).map(e => runEpochWatched(spark, cfg, e, store))
+  }
+
+  /** ST5 stuck-operation watchdog (driver-side): run the epoch under a
+    * cancellable job group; past `stuckTimeoutMs`, cancel its Spark jobs,
+    * write a FAILED marker (no commit marker — resume replays the epoch
+    * idempotently) and raise. */
+  def runEpochWatched(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
+      store: PayloadStore = PayloadSink): EpochMetrics = {
+    if (cfg.stuckTimeoutMs == Long.MaxValue) return runEpoch(spark, cfg, epoch, store)
+    val group = s"graft-epoch-$epoch"
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group, s"epoch $epoch", interruptOnCancel = true)
+      try runEpoch(spark, cfg, epoch, store)
+      finally spark.sparkContext.clearJobGroup()
+    }
+    try Await.result(fut, cfg.stuckTimeoutMs.millis)
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        val fs = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new Path(s"${cfg.workDir}/_commits"))
+        val out = fs.create(new Path(s"${cfg.workDir}/_commits/epoch_$epoch.FAILED.json"), true)
+        out.write(s"""{"epoch":$epoch,"status":"FAILED","reason":"stuck_timeout"}"""
+          .getBytes("UTF-8"))
+        out.close()
+        throw new StuckEpochException(epoch, cfg.stuckTimeoutMs)
+    }
   }
 
   /** Highest epoch with a commit marker, or -1. */
@@ -63,8 +102,10 @@ object CrawlLoop {
     }.foldLeft(-1)(math.max)
   }
 
-  def runEpoch(spark: SparkSession, cfg: CrawlConfig, epoch: Int): EpochMetrics = {
+  def runEpoch(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
+      store: PayloadStore = PayloadSink): EpochMetrics = {
     import spark.implicits._
+    val tEpoch0 = System.nanoTime()
 
     // 1. this epoch's frontier slice + carried-over work
     val slice = FrontierSynth.frontier(spark, cfg.urlsPerEpoch, cfg.numHosts,
@@ -77,44 +118,59 @@ object CrawlLoop {
     val candidates = newKeyed.unionByName(carried)
       .persist(StorageLevel.MEMORY_AND_DISK)
     spark.sparkContext.setJobDescription(s"epoch=$epoch candidates")
-    val nCandidates = candidates.count()
+    val nCandidates = candidates.count() // job 1 (also warms the cache)
 
-    // 2. intra-epoch first-occurrence dedup (url_hash window). Duplicates
-    // share the canonical URL, so dedup-before-robots is interchangeable
-    // with robots-before-dedup for membership/traces; doing it first lets
-    // the anti-join reuse the url_hash partitioning.
-    val deduped = Politeness.dedupWithinEpoch(candidates)
+    // 2. intra-epoch first-occurrence dedup (url_hash window), in FLAG
+    // form: duplicate rows stay in the frame so their count folds into
+    // the single state aggregation below instead of its own .count() job.
+    // Duplicates share the canonical URL, so dedup-before-robots is
+    // interchangeable with robots-before-dedup for membership/traces;
+    // doing it first lets the anti-join reuse the url_hash partitioning.
+    val dedupTagged = Politeness.dedupFlagged(candidates)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spark.sparkContext.setJobDescription(s"epoch=$epoch dedup")
-    val nDeduped = deduped.count()
+    val dupRows = dedupTagged.filter(col("is_dup__"))
+    val deduped = dedupTagged.filter(!col("is_dup__")).drop("is_dup__")
+      .as[KeyedUrl]
 
     // 3. URL-seen anti-join (success-only store; forceUpdate bypasses).
     // Two-tier: broadcast bloom probe (no shuffle) + exact confirm of the
     // positives; segments stay distributed (cogroup path) only when too
-    // big to broadcast.
+    // big to broadcast. No count job here: the seen-skip count is the
+    // residual of the state aggregation (every candidate is exactly one
+    // of dup/seen-skipped/denied/admitted/deferred).
     val seen = readSeen(spark, cfg.workDir, epoch)
-    val unseen = (if (cfg.forceUpdate || seen == null) deduped
+    val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
+      if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
         val expectedPerBucket = math.max(64L,
           (epoch.toLong * cfg.urlsPerEpoch) / cfg.buckets)
         val segments = SeenSet.bloomSegments(seen, cfg.buckets,
           expectedPerBucket, cfg.bloomFpp)
         SeenSet.unseenTwoTierBroadcast(deduped, seen, segments)
-      } else SeenSet.unseenExact(deduped, seen))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    spark.sparkContext.setJobDescription(s"epoch=$epoch seen-filter")
-    val nUnseen = unseen.count()
+      } else (SeenSet.unseenExact(deduped, seen), () => ())
 
-    // 4. fused host stage: robots admission + politeness rank + budget in
-    // one repartition(host)+sort+streamed pass
+    // 4. fused host stage: robots admission + politeness rank + budget —
+    // map-side deny/top-k prefilter, then one repartition(host)+sort pass
     val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
     val scheduled = Politeness.schedule(unseen, rules, cfg.budgetPerHost)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    spark.sparkContext.setJobDescription(s"epoch=$epoch host-schedule")
-    val schedCounts = scheduled.groupByKey(_._2).count().collect().toMap
-    val nDenied = schedCounts.getOrElse(Politeness.Sched.Denied, 0L)
-    val nAdmitted = schedCounts.getOrElse(Politeness.Sched.Admitted, 0L)
-    val nDeferred = schedCounts.getOrElse(Politeness.Sched.Deferred, 0L)
+
+    // single state-count job: dup rows + every scheduling outcome
+    spark.sparkContext.setJobDescription(s"epoch=$epoch state-counts")
+    val stateCounts = dupRows.select(lit("DUP").as("state"))
+      .unionByName(scheduled.toDF().select(col("_2").as("state")))
+      .groupBy(col("state")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // job 2
+    val nDup = stateCounts.getOrElse("DUP", 0L)
+    val nDenied = stateCounts.getOrElse(Politeness.Sched.Denied, 0L)
+    val nAdmitted = stateCounts.getOrElse(Politeness.Sched.Admitted, 0L)
+    val nDeferred = stateCounts.getOrElse(Politeness.Sched.Deferred, 0L)
+    val nSeenSkipped = nCandidates - nDup - nDenied - nAdmitted - nDeferred
+    // scheduled is materialized: release everything upstream of it
+    seenCleanup()
+    dedupTagged.unpersist()
+    candidates.unpersist()
+
     val admitted = scheduled.filter(_._2 == Politeness.Sched.Admitted)
       .map { case (k, _, slot) => AdmittedUrl(k.url_canon, k.url_hash,
         k.docid, k.court, k.host, k.host_bucket, k.path, k.sitemap_seq,
@@ -124,31 +180,39 @@ object CrawlLoop {
     // 5. simulated fetch + decode + invariant validation
     val results = Fetch.fetch(admitted, epoch).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 7. sinks (idempotent per epoch)
+    // 7. sinks (idempotent per epoch), all behind the PayloadStore trait
     spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
-    PayloadSink.write(results, cfg.workDir)
+    store.writePayload(results, cfg.workDir)
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
-    PayloadSink.writeLineage(PayloadSink.lineage(results, epoch), cfg.workDir, epoch)
+    store.writeLineage(PayloadSink.lineage(results, epoch), cfg.workDir, epoch)
 
     // seen delta = terminal-success rows only (reference guard:
     // status==DOWNLOADED ⇒ skip; CrawlerOrchestrationService.java:114-115)
     spark.sparkContext.setJobDescription(s"epoch=$epoch seen-write")
-    results.filter(_.status == Status.Processed)
-      .map(r => (r.url_hash, r.host_bucket))
-      .toDF("url_hash", "host_bucket")
-      .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/seen/epoch=$epoch")
+    store.writeSeenDelta(
+      results.filter(_.status == Status.Processed)
+        .map(r => (r.url_hash, r.host_bucket))
+        .toDF("url_hash", "host_bucket"),
+      cfg.workDir, epoch)
     spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
 
     // retry queue = transient/corrupt FAILED rows, eligible next epoch.
-    // Fetch outcomes are deterministic in (url_hash, epoch), so the retry
-    // rows are recomputable from `admitted` without joining back to
-    // `results` (no extra shuffle).
-    admitted.filter(a => Outcomes.of(a.url_hash, epoch) == Status.Failed)
-      .map(_.toKeyed)
-      .write.mode(SaveMode.Overwrite).parquet(s"${cfg.workDir}/retry/epoch=$epoch")
+    // Derived from the ACTUAL validated statuses in `results` (broadcast
+    // semi-join on the small FAILED sliver — no shuffle), never recomputed
+    // from expected outcomes: if validation ever disagreed with the
+    // expectation table, the engine would otherwise put one URL in BOTH
+    // the seen store and the retry queue and drift from itself.
+    val failedKeys = results.filter(_.status == Status.Failed)
+      .toDF().select("url_hash")
+    store.writeKeyed(
+      admitted.toDF()
+        .join(broadcast(failedKeys), Seq("url_hash"), "left_semi")
+        .as[AdmittedUrl]
+        .map(_.toKeyed),
+      s"${cfg.workDir}/retry/epoch=$epoch")
 
     spark.sparkContext.setJobDescription(s"epoch=$epoch deferred-write")
-    writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
+    store.writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
 
     // one pass over results for all outcome metrics
     spark.sparkContext.setJobDescription(s"epoch=$epoch result-metrics")
@@ -157,30 +221,37 @@ object CrawlLoop {
       count(when(col("status") === Status.Failed, 1)).as("f"),
       count(when(col("status") === Status.Rejected, 1)).as("r"),
       coalesce(sum(length(col("bytes")).cast("long")), lit(0L)).as("b"),
-      countDistinct(col("host")).as("h")).head()
-    val statusCounts = Map(
-      Status.Processed -> mrow.getLong(0),
-      Status.Failed -> mrow.getLong(1),
-      Status.Rejected -> mrow.getLong(2))
-    val bytesWritten = mrow.getLong(3)
-    val nHosts = mrow.getLong(4)
+      countDistinct(col("host")).as("h")).head() // job 3
+    val durationMs = (System.nanoTime() - tEpoch0) / 1000000L
+    // A8/A9/A11 derived metrics (BulkCrawlProgress.java:254-329 analogue):
+    // rate over this epoch, % of the configured frontier consumed, ETA for
+    // the remaining epochs at this epoch's rate. Wall-clock measurements —
+    // excluded from the deterministic equivalence surface.
+    val rate = if (durationMs > 0) nCandidates * 1000.0 / durationMs else 0.0
+    val freshConsumed = math.min(cfg.totalUrls, (epoch + 1).toLong * cfg.urlsPerEpoch)
+    val progressPct =
+      if (cfg.totalUrls > 0) freshConsumed * 100.0 / cfg.totalUrls else 100.0
+    val etaMs = if (rate > 0) ((cfg.totalUrls - freshConsumed) / rate * 1000.0).toLong else 0L
     val m = EpochMetrics(epoch, nCandidates, nDenied,
-      n_dup_in_epoch = nCandidates - nDeduped,
-      n_seen_skipped = nDeduped - nUnseen,
+      n_dup_in_epoch = nDup,
+      n_seen_skipped = nSeenSkipped,
       n_admitted = nAdmitted,
       n_deferred = nDeferred,
-      n_processed = statusCounts.getOrElse(Status.Processed, 0L),
-      n_failed = statusCounts.getOrElse(Status.Failed, 0L),
-      n_rejected = statusCounts.getOrElse(Status.Rejected, 0L),
-      bytes_written = bytesWritten,
-      n_hosts = nHosts)
-    PayloadSink.writeMetrics(m, cfg.workDir, spark)
+      n_processed = mrow.getLong(0),
+      n_failed = mrow.getLong(1),
+      n_rejected = mrow.getLong(2),
+      bytes_written = mrow.getLong(3),
+      n_hosts = mrow.getLong(4),
+      duration_ms = durationMs,
+      urls_per_sec = rate,
+      progress_pct = progressPct,
+      eta_ms = etaMs)
+    store.writeMetrics(m, cfg.workDir, spark)
 
     // 8. atomic commit marker — everything above is replayable; the marker
     // flips the epoch to "done" (Iceberg-snapshot stand-in)
     commit(spark, cfg.workDir, m)
 
-    candidates.unpersist(); deduped.unpersist(); unseen.unpersist()
     scheduled.unpersist(); results.unpersist()
     m
   }
@@ -199,14 +270,22 @@ object CrawlLoop {
     fs.rename(tmp, fin)
   }
 
-  /** Union of all committed seen deltas before `epoch`; null if none. */
+  /** Union of all committed seen deltas before `epoch`, with delete
+    * tombstones merged on read (S10: a deleted URL is re-crawlable next
+    * epoch — seen.SeenDeletes); null if none. */
   def readSeen(spark: SparkSession, workDir: String, epoch: Int)
       : org.apache.spark.sql.DataFrame = {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = (0 until epoch).map(e => s"$workDir/seen/epoch=$e")
       .filter(d => fs.exists(new Path(d)))
-    if (dirs.isEmpty) null else spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) null
+    else graft.seen.SeenDeletes.applyTombstones(spark, workDir,
+      spark.read.parquet(dirs: _*))
   }
+
+  /** All existing per-epoch seen directories (compaction targets). */
+  def seenEpochDirs(spark: SparkSession, workDir: String, epochs: Int): Seq[String] =
+    (0 until epochs).map(e => s"$workDir/seen/epoch=$e")
 
   private def readKeyed(spark: SparkSession, dir: String): Dataset[KeyedUrl] = {
     import spark.implicits._
@@ -214,7 +293,4 @@ object CrawlLoop {
     if (fs.exists(new Path(dir))) spark.read.parquet(dir).as[KeyedUrl]
     else spark.emptyDataset[KeyedUrl]
   }
-
-  private def writeKeyed(ds: Dataset[KeyedUrl], dir: String): Unit =
-    ds.write.mode(SaveMode.Overwrite).parquet(dir)
 }

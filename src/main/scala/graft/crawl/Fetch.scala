@@ -2,22 +2,52 @@ package graft.crawl
 
 import org.apache.spark.sql.Dataset
 
+/** Typed security/validation predicates over the declared wire header —
+  * the P17/P19 analogue of the reference's XmlSanitizer guards
+  * (util/XmlSanitizer.java:33-46,53-54,201-241): each reject carries a
+  * typed reason routed to the payload/metrics tables, like the
+  * reference's XmlValidationException error types. */
+object SecurityPredicates {
+  /** 10 MB cap analogue (util/XmlSanitizer.java:53-54). */
+  val MaxDeclaredBytes: Long = 10L * 1024 * 1024
+  /** Decompression-bomb guard: declared pixel count vs what a sane
+    * payload can hold (billion-laughs analogue,
+    * util/XmlSanitizer.java:201-241). */
+  val MaxDeclaredPixels: Long = 1L << 26
+
+  object Reason {
+    val Oversize = "OVERSIZE"
+    val DimensionBomb = "DIMENSION_BOMB"
+    val NetTransient = "NET_TRANSIENT"
+    val DecodeError = "DECODE_ERROR"
+    val PsnrFloor = "PSNR_FLOOR"
+    val MetaMismatch = "META_MISMATCH"
+  }
+
+  /** Reject reason for a declared (length, width, height), or None. */
+  def check(declaredLen: Long, declaredW: Long, declaredH: Long): Option[String] =
+    if (declaredLen > MaxDeclaredBytes) Some(Reason.Oversize)
+    else if (declaredW * declaredH > MaxDeclaredPixels) Some(Reason.DimensionBomb)
+    else None
+}
+
 /** Simulated fetch → decode → validate stage (SURVEY.md §2.1 S4, §2.2
   * P17-P26) as a typed `mapPartitions`: in production one HTTP client per
   * partition; here a deterministic generator keyed on url_hash. The
   * validation path is real:
+  *  - security predicates on the declared header BEFORE fetch/decode
+  *    (P17 oversize + P19 bomb guard), rejects carry typed reasons;
   *  - decode the wire bytes (well-formedness, P21 analogue);
   *  - lossy payloads must reach PSNR ≥ 40dB vs the source pixels,
   *    lossless must be bit-exact (input_hint invariant);
   *  - caption must equal the expected caption exactly;
-  *  - oversize payloads are REJECTED before decode (P17, 10MB cap
-  *    analogue — util/XmlSanitizer.java:53-54);
-  * violations land as FAILED with the status machine of
-  * model/LegalDocument.java:129-131.
+  * violations land as FAILED/REJECTED with the status machine of
+  * model/LegalDocument.java:129-131 plus a typed reject_reason column.
   */
 object Fetch {
 
   val PsnrFloorDb = 40.0
+  import SecurityPredicates.Reason
 
   def fetch(admitted: Dataset[AdmittedUrl], epoch: Int): Dataset[FetchResult] = {
     val spark = admitted.sparkSession
@@ -27,15 +57,23 @@ object Fetch {
         val outcome = Outcomes.of(a.url_hash, epoch)
         val imageId = f"${a.docid}%s-${a.url_hash}%016x"
         if (outcome == Status.Rejected) {
-          // oversize guard fires on declared length — no body stored
+          // the declared header is hostile: either an oversize length or a
+          // decompression-bomb dimension pair; the predicate — not the
+          // fixture — decides the typed reason, and no body is fetched
+          val (dLen, dW, dH) =
+            if (Outcomes.isBomb(a.url_hash)) (1024L, 65535L, 65535L)
+            else (SecurityPredicates.MaxDeclaredBytes + 1 +
+              java.lang.Long.remainderUnsigned(a.url_hash, 4096L), 64L, 64L)
+          val reason = SecurityPredicates.check(dLen, dW, dH)
+            .getOrElse(Reason.MetaMismatch) // unreachable for these fixtures
           FetchResult(imageId, a.url_hash, a.url_canon, a.host, a.host_bucket,
             epoch, a.slot, Array.emptyByteArray, 0, 0, "oversize",
-            "", 0L, Status.Rejected, 0.0)
+            "", 0L, Status.Rejected, 0.0, reason)
         } else if (outcome == Status.Failed && !Outcomes.isCorrupt(a.url_hash)) {
           // transient network failure: no payload, retry next epoch
           FetchResult(imageId, a.url_hash, a.url_canon, a.host, a.host_bucket,
             epoch, a.slot, Array.emptyByteArray, 0, 0, "none",
-            "", 0L, Status.Failed, 0.0)
+            "", 0L, Status.Failed, 0.0, Reason.NetTransient)
         } else {
           // fetched: DOWNLOADED → validate → PROCESSED | FAILED
           val w = Outcomes.width(a.url_hash)
@@ -43,24 +81,30 @@ object Fetch {
           val fmt = Outcomes.fmt(a.url_hash)
           val src = ImageCodec.pixels(a.url_hash, w, h)
           val wire0 = ImageCodec.encode(src, w, h, fmt)
-          // corrupt-payload fixture: flip a body byte after encoding
+          // corrupt-payload fixture: flip the magic byte after encoding —
+          // structurally undecodable, so validation fails DETERMINISTICALLY
+          // (a flipped body byte could stay above the PSNR floor on a large
+          // image, silently diverging engine status from the simulator's)
           val wire = if (Outcomes.isCorrupt(a.url_hash)) {
-            val c = wire0.clone(); c(6) = (c(6) ^ 0x55).toByte; c
+            val c = wire0.clone(); c(0) = (c(0) ^ 0xff).toByte; c
           } else wire0
           val caption = Outcomes.caption(a.docid, a.host)
-          val (status, psnr) = ImageCodec.decode(wire) match {
+          val (status, psnr, reason) = ImageCodec.decode(wire) match {
             case Some((dw, dh, dfmt, px)) if dw == w && dh == h && dfmt == fmt =>
               val p = ImageCodec.psnr(src, px)
               val ok =
                 if (fmt == "png") p.isPosInfinity // lossless: bit-exact
                 else p >= PsnrFloorDb // lossy: 40dB floor
-              (if (ok) Status.Processed else Status.Failed, p)
-            case _ => (Status.Failed, 0.0)
+              if (ok) (Status.Processed, p, "")
+              else (Status.Failed, p, Reason.PsnrFloor)
+            case Some(_) => (Status.Failed, 0.0, Reason.MetaMismatch)
+            case None => (Status.Failed, 0.0, Reason.DecodeError)
           }
           val ph = ImageCodec.phash(src, w, h)
           FetchResult(imageId, a.url_hash, a.url_canon, a.host, a.host_bucket,
             epoch, a.slot, wire, w, h, fmt, caption, ph, status,
-            if (psnr.isPosInfinity) 99.0 else math.floor(psnr * 100) / 100)
+            if (psnr.isPosInfinity) 99.0 else math.floor(psnr * 100) / 100,
+            reason)
         }
       }
     }

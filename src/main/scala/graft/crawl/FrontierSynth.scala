@@ -14,8 +14,11 @@ import graft.functions.UrlFunctions
   * Fixture properties (FIXTURES.md §1):
   *  - Zipf-ish host skew (log-uniform over `numHosts`, so host 0 is hot);
   *  - ~20% of rows duplicate an earlier row's URL (dedup fixture): rows
-  *    with `id >= 0.8n` re-draw their identity from the id-domain `[0,
-  *    0.8n)`, so their (url, host) equal some earlier row's;
+  *    with `id >= 0.8n` re-draw their identity from the GLOBAL id-domain
+  *    `[0, 0.8·(epochOffset+n))` — spanning all earlier epochs — so an
+  *    epoch-1+ dup row can hit an epoch-0 identity and exercise the
+  *    URL-seen skip / forceUpdate / delete-re-crawl paths end-to-end
+  *    (an epoch-local domain leaves the cross-epoch seen store unhit);
   *  - ~5% of URLs carry injected whitespace noise (canonicalization
   *    fixture) — noise position varies but canonical form is identical;
   *  - ~3% of URLs live under a /private/ path (robots fixture);
@@ -32,14 +35,17 @@ object FrontierSynth {
     * Row ids are globally unique across epochs via `epochOffset`. */
   def frontier(spark: SparkSession, n: Long, numHosts: Int, seed: Long,
       epoch: Int, epochOffset: Long = 0L): DataFrame = {
-    val dupDomain = math.max(1L, (n * 4) / 5)
+    val freshPerEpoch = math.max(1L, (n * 4) / 5)
+    val dupDomain = math.max(1L, ((epochOffset + n) * 4) / 5)
     spark.range(n)
       .select((col("id") + epochOffset).as("frontier_seq"), col("id"))
-      // identity key: last 20% re-draw from the first 80% (duplicate fixture)
+      // identity key: last 20% of each slice re-draw from the global
+      // domain (duplicate fixture, cross-epoch); the rest are fresh
       .withColumn("doc_key",
-        when(col("id") >= dupDomain,
-          pmod(xxhash64(lit(seed), lit(7L), col("id")), lit(dupDomain)))
-          .otherwise(col("id")) + lit(epochOffset))
+        when(col("id") >= freshPerEpoch,
+          pmod(xxhash64(lit(seed), lit(7L), col("id") + lit(epochOffset)),
+            lit(dupDomain)))
+          .otherwise(col("id") + lit(epochOffset)))
       .withColumn("r1", xxhash64(lit(seed), col("doc_key")))
       .withColumn("r2", xxhash64(lit(seed + 1), col("doc_key")))
       .withColumn("r3", xxhash64(lit(seed + 2), col("frontier_seq"))) // per-row, not per-key: noise

@@ -10,10 +10,13 @@ import graft.expressions.ExprOps
   * invariants, partitioning — is real and tested. The payload honors the
   * BASELINE.json input_hint invariants:
   *  - lossless ("png"): decode returns the source pixels bit-exactly;
-  *  - lossy ("jpg"): 2-LSB quantization → max per-pixel error 3 →
-  *    PSNR ≥ 20·log10(255/3) ≈ 38.6dB worst-case, ≈ 42.9dB for the
-  *    uniform error this quantizer produces — validated per-row against
-  *    the 40dB floor;
+  *  - lossy ("jpg"): 1-LSB quantization → max per-pixel error 1 →
+  *    PSNR ≥ 20·log10(255/1) ≈ 48.1dB even in the worst case (every
+  *    pixel odd), so an uncorrupted lossy payload can NEVER fall under
+  *    the validated 40dB floor — the engine's per-row validation agrees
+  *    with the simulator's status table by construction, not by seed
+  *    luck (the earlier 2-LSB quantizer had a 38.6dB worst case below
+  *    the floor);
   *  - caption carried verbatim (exact equality check).
   *
   * Wire format: [magic 'G', fmt(1), w(2), h(2), pixels(w*h)] — grayscale.
@@ -41,7 +44,7 @@ object ImageCodec {
   def encode(px: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = {
     val body = fmt match {
       case "png" => px
-      case "jpg" => px.map(b => (b & 0xfc).toByte) // drop 2 LSBs (lossy)
+      case "jpg" => px.map(b => (b & 0xfe).toByte) // drop 1 LSB (lossy; worst-case PSNR 48.1dB > 40dB floor)
       case other => throw new IllegalArgumentException(s"fmt $other")
     }
     val out = new Array[Byte](6 + body.length)
@@ -140,6 +143,14 @@ object Outcomes {
     * engine distinguishes it by actually failing validation). */
   def isCorrupt(urlHash: Long): Boolean =
     java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 0x7f4a7c15L), 211L) == 0L
+
+  /** True when a REJECTED row's fixture is the decompression-bomb variant
+    * (absurd declared dimensions) rather than plain oversize: carves the
+    * existing Rejected class in half WITHOUT changing any status, so the
+    * security predicate (P19) gets exercised while engine⇄simulator
+    * status equivalence is untouched. */
+  def isBomb(urlHash: Long): Boolean =
+    (ExprOps.mix(urlHash ^ 0x1c3a9df2L) & 1L) == 0L
 
   def width(urlHash: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 3L), 25L)).toInt
   def height(urlHash: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 4L), 25L)).toInt

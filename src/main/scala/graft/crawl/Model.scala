@@ -84,7 +84,13 @@ case class FetchResult(
     caption: String,
     phash: Long,
     status: String,
-    psnr: Double)
+    psnr: Double,
+    /** Typed failure/reject classification (P19/P26 analogue of the
+      * reference's XmlValidationException error types,
+      * util/XmlSanitizer.java:33-46): OVERSIZE | DIMENSION_BOMB |
+      * NET_TRANSIENT | DECODE_ERROR | PSNR_FLOOR | META_MISMATCH,
+      * empty for PROCESSED rows. */
+    reject_reason: String)
 
 case class EpochMetrics(
     epoch: Int,
@@ -98,7 +104,15 @@ case class EpochMetrics(
     n_failed: Long,
     n_rejected: Long,
     bytes_written: Long,
-    n_hosts: Long)
+    n_hosts: Long,
+    /** A8/A9/A11 derived progress metrics (reference
+      * model/BulkCrawlProgress.java:254-329: rate, ETA, progress-%).
+      * Wall-clock measurements — NOT part of the deterministic
+      * equivalence surface (the counters above are). */
+    duration_ms: Long = 0L,
+    urls_per_sec: Double = 0.0,
+    progress_pct: Double = 0.0,
+    eta_ms: Long = 0L)
 
 /** Per-(epoch, host_bucket) lineage row — which partition wrote what. */
 case class PartitionLineage(

@@ -29,89 +29,106 @@ object Politeness {
 
   private val orderCols = Seq("discovered_epoch", "sitemap_seq", "entry_seq")
 
-  /** (admitted with slots, deferred) under a per-host, per-epoch budget. */
-  def admit(candidates: Dataset[KeyedUrl], budgetPerHost: Int)
-      : (Dataset[AdmittedUrl], Dataset[KeyedUrl]) = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-
-    implicit val ordKey: Ordering[KeyedUrl] = Ordering.by(
-      (k: KeyedUrl) => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
-
-    // phase 1: map-side partial top-k per host (largest-on-top heap of
-    // the `budget` smallest order keys)
-    val partial = candidates.mapPartitions { rows =>
-      val heaps = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.PriorityQueue[KeyedUrl]]
-      rows.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.host,
-          scala.collection.mutable.PriorityQueue.empty[KeyedUrl])
-        if (h.size < budgetPerHost) h.enqueue(r)
-        else if (ordKey.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }
-
-    // phase 2: exact per-host ranking window over the survivors
-    val w = Window.partitionBy(col("host"))
-      .orderBy(orderCols.map(col): _*)
-    val admitted = partial.toDF()
-      .withColumn("slot", row_number().over(w))
-      .filter(col("slot") <= budgetPerHost)
-      .select(col("url_canon"), col("url_hash"), col("docid"), col("court"),
-        col("host"), col("host_bucket"), col("path"), col("sitemap_seq"),
-        col("entry_seq"), col("discovered_epoch"), col("lastmod"), col("slot"))
-      .as[AdmittedUrl]
-
-    // deferred = candidates beyond the budget (kept for the next epoch)
-    val deferred = candidates
-      .join(admitted.select("url_hash"), Seq("url_hash"), "left_anti")
-      .as[KeyedUrl]
-    (admitted, deferred)
-  }
-
   /** Row states emitted by the fused host stage. */
   object Sched {
     val Admitted = "ADMITTED"
     val Deferred = "DEFERRED"
     val Denied = "DENIED"
+    /** Internal to [[schedule]]: phase-0 heap survivor awaiting exact
+      * ranking — never appears in the returned dataset. */
+    val Survivor = "SURVIVOR"
   }
 
-  /** Fused per-host stage: robots admission + politeness ranking + budget
-    * in ONE shuffle — repartition by host, sort within partitions by the
-    * reference order, then a streamed per-host run-length pass assigning
-    * slots under the budget with broadcast robots rules (the north rule's
+  /** Fused per-host stage: robots admission + politeness ranking + budget.
+    *
+    * Phase 0 (map-side, NO shuffle): robots-deny with the broadcast rules,
+    * and a per-host top-`budget` heap per input partition (the top-k
+    * analogue of a map-side combine) that routes overflow rows straight to
+    * DEFERRED. A Zipf mega-host therefore ships at most
+    * budget × input-partitions rows into the shuffle instead of its entire
+    * frontier share — without this, `repartition(host)` makes the
+    * mega-host's whole share ONE task and that task the epoch's critical
+    * path (memory was always bounded by the streamed pass; wall-time was
+    * not).
+    *
+    * Phase 1 (one shuffle): repartition the survivors by host, sort within
+    * partitions by the reference order, then a streamed per-host
+    * run-length pass assigning slots under the budget (the north rule's
     * "Catalyst-friendly mapGroups stage", expressed as
     * repartition+sortWithinPartitions+mapPartitions so the sort is the
-    * shuffle's sort, groups never materialize, and the mega-host costs one
-    * task's time, never one task's memory).
+    * shuffle's sort and groups never materialize).
+    *
+    * Correctness of the prefilter: any row among a host's true `budget`
+    * earliest is among its partition's `budget` earliest, so the survivor
+    * union contains every row phase 1 can admit; evicted/overflow rows can
+    * never win a slot and are exactly DEFERRED. The order key is unique
+    * per host (frontier_seq ↔ (sitemap_seq, entry_seq) is injective and
+    * carried rows keep their original epoch), so heap decisions are
+    * deterministic.
     *
     * Output: (row, state, slot): ADMITTED (slot 1..budget), DEFERRED
-    * (carried to the next epoch), DENIED (robots; terminal). */
+    * (carried to the next epoch), DENIED (robots; terminal). The phase-0
+    * pass is deliberately NOT persisted: its two consumers sit in one
+    * plan, the exchanges beneath it are deduplicated by ReuseExchange,
+    * and the caller persists the unioned result anyway — one extra
+    * narrow map pass beats caching a full epoch frontier. */
   def schedule(unseen: Dataset[KeyedUrl], rules: Map[String, RobotsRule],
       budgetPerHost: Int): Dataset[(KeyedUrl, String, Int)] = {
     val spark = unseen.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rules)
-    unseen
+    val pre = prefilter(unseen, rules, budgetPerHost)
+
+    // phase 1: exact global ranking over the (bounded) survivors only
+    val ranked = pre.filter(_._2 == Sched.Survivor).map(_._1)
       .repartition(col("host"))
       .sortWithinPartitions(col("host"), col("discovered_epoch"),
         col("sitemap_seq"), col("entry_seq"))
       .mapPartitions { rows =>
         var currentHost: String = null
-        var rule: Option[RobotsRule] = None
         var slot = 0
         rows.map { r =>
-          if (r.host != currentHost) {
-            currentHost = r.host
-            rule = bc.value.get(r.host)
-            slot = 0
-          }
-          if (!Robots.allows(rule, r.path)) (r, Sched.Denied, 0)
-          else if (slot < budgetPerHost) { slot += 1; (r, Sched.Admitted, slot) }
+          if (r.host != currentHost) { currentHost = r.host; slot = 0 }
+          if (slot < budgetPerHost) { slot += 1; (r, Sched.Admitted, slot) }
           else (r, Sched.Deferred, 0)
         }
       }
+    pre.filter(_._2 != Sched.Survivor).unionByName(ranked)
+  }
+
+  /** Phase 0 of [[schedule]]: streamed map-side pass. Emits
+    * DENIED/DEFERRED rows as they are decided (never buffered), keeps
+    * ≤ budget candidate rows per host per input partition in
+    * largest-on-top heaps, flushes heap survivors (state Survivor) when
+    * the input is exhausted (Iterator ++ is by-name, so the flush sees
+    * the final heaps). Package-visible so the skew spec can assert the
+    * survivor bound directly. */
+  private[graft] def prefilter(unseen: Dataset[KeyedUrl],
+      rules: Map[String, RobotsRule], budgetPerHost: Int)
+      : Dataset[(KeyedUrl, String, Int)] = {
+    val spark = unseen.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules)
+    implicit val ordKey: Ordering[KeyedUrl] = Ordering.by(
+      (k: KeyedUrl) => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+    unseen.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[KeyedUrl]]
+      val decided = rows.flatMap { r =>
+        if (!Robots.allows(bc.value.get(r.host), r.path))
+          Iterator.single((r, Sched.Denied, 0))
+        else {
+          val h = heaps.getOrElseUpdate(r.host,
+            scala.collection.mutable.PriorityQueue.empty[KeyedUrl])
+          if (h.size < budgetPerHost) { h.enqueue(r); Iterator.empty }
+          else if (ordKey.lt(r, h.head)) {
+            val evicted = h.dequeue(); h.enqueue(r)
+            Iterator.single((evicted, Sched.Deferred, 0))
+          } else Iterator.single((r, Sched.Deferred, 0))
+        }
+      }
+      decided ++ heaps.valuesIterator.flatMap(_.iterator)
+        .map(k => (k, Sched.Survivor, 0))
+    }
   }
 
   /** First-occurrence-per-URL within an epoch's candidate set — the
@@ -123,12 +140,18 @@ object Politeness {
   def dedupWithinEpoch(candidates: Dataset[KeyedUrl]): Dataset[KeyedUrl] = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    dedupFlagged(candidates).filter(!col("is_dup__")).drop("is_dup__")
+      .as[KeyedUrl]
+  }
+
+  /** [[dedupWithinEpoch]] in flag form: every candidate row tagged
+    * `is_dup__` instead of duplicates being dropped — lets the epoch loop
+    * count duplicates in the SAME aggregation as the scheduling states
+    * (one driver job instead of two counts). */
+  def dedupFlagged(candidates: Dataset[KeyedUrl]): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("url_hash"))
       .orderBy(orderCols.map(col): _*)
     candidates.toDF()
-      .withColumn("rn__", row_number().over(w))
-      .filter(col("rn__") === 1)
-      .drop("rn__")
-      .as[KeyedUrl]
+      .withColumn("is_dup__", row_number().over(w) > 1)
   }
 }

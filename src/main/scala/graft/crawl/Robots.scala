@@ -34,18 +34,18 @@ object Robots {
       r.allowAll && !r.disallowPrefixes.exists(p => path.startsWith(p))
   }
 
-  /** Partition candidates into (admitted, denied) via a per-host
-    * mapGroups stage with the broadcast rules. */
-  def admit(candidates: Dataset[KeyedUrl], rules: Map[String, RobotsRule])
-      : (Dataset[KeyedUrl], Dataset[KeyedUrl]) = {
+  /** Per-host mapGroups admission pass with the broadcast rules: every
+    * candidate row tagged admissible/denied in ONE streamed pass (no
+    * persist — single-consumer flag form; callers split or aggregate the
+    * flags downstream). */
+  def admitFlagged(candidates: Dataset[KeyedUrl], rules: Map[String, RobotsRule])
+      : Dataset[(KeyedUrl, Boolean)] = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(rules)
-    val flagged = candidates.groupByKey(_.host).flatMapGroups { (host, rows) =>
+    candidates.groupByKey(_.host).flatMapGroups { (host, rows) =>
       val rule = bc.value.get(host)
       rows.map(r => (r, Robots.allows(rule, r.path)))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: both splits reuse one pass over the grouped shuffle
-    (flagged.filter(_._2).map(_._1), flagged.filter(!_._2).map(_._1))
+    }
   }
 }

@@ -1,37 +1,57 @@
 package graft.crawl
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Partitioned payload sink + metrics/lineage tables (SURVEY.md §2.1
+/** Storage abstraction for every crawl-side sink (payload, lineage,
+  * metrics, seen deltas, carried work queues). The crawl loop only talks
+  * to this trait, so an Iceberg-backed implementation (the north rule's
+  * nominal sink; no Iceberg runtime ships in this container) is a drop-in:
+  * implement the six writes with `writeTo(table).overwritePartitions()`
+  * and the epoch commit marker becomes the snapshot commit. */
+trait PayloadStore extends Serializable {
+  def writePayload(results: Dataset[FetchResult], workDir: String): Unit
+  def writeLineage(l: Dataset[PartitionLineage], workDir: String, epoch: Int): Unit
+  def writeMetrics(m: EpochMetrics, workDir: String, spark: SparkSession): Unit
+  /** Seen delta: success-only (url_hash, host_bucket) rows for `epoch`. */
+  def writeSeenDelta(delta: DataFrame, workDir: String, epoch: Int): Unit
+  /** Carried work queues (retry/deferred). */
+  def writeKeyed(ds: Dataset[KeyedUrl], dir: String): Unit
+}
+
+/** Partitioned-parquet implementation of [[PayloadStore]] (SURVEY.md §2.1
   * S6-S9). The reference's court/year/month file tree *is* its partition
   * spec (service/DocumentDownloadService.java:197-207); ours is explicit
   * `(host_bucket, crawl_epoch)` partitioned parquet — the Iceberg layout
-  * from BASELINE.json minus the catalog (no Iceberg runtime ships in this
-  * container; the write path is identical: partitioned columnar append +
-  * an atomic per-epoch commit marker standing in for the snapshot).
+  * from BASELINE.json minus the catalog; the write path is identical:
+  * partitioned columnar append + an atomic per-epoch commit marker
+  * standing in for the snapshot.
   *
   * Idempotent replay: every epoch writes with dynamic partition overwrite,
   * so re-running an epoch after a crash replaces exactly its own
   * partitions (crawl_epoch=e) — the Iceberg-snapshot equivalent that makes
   * resume-from-checkpoint exactly-once (SURVEY.md §2.9 ST4, §7.5.5).
   */
-object PayloadSink {
+object PayloadSink extends PayloadStore {
 
   /** Append this epoch's results under payload/, partitioned
-    * (host_bucket, crawl_epoch). Returns (rows, bytes) written. */
-  def write(results: Dataset[FetchResult], workDir: String): Unit = {
+    * (host_bucket, crawl_epoch). */
+  def writePayload(results: Dataset[FetchResult], workDir: String): Unit = {
     val spark = results.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     results.toDF()
       .select(col("image_id"), col("bytes"), col("w"),
         col("h"), col("fmt"), col("caption"), col("phash"), col("url_hash"),
         col("url_canon"), col("host"), col("slot"), col("status"),
-        col("psnr"), col("host_bucket"), col("crawl_epoch"))
+        col("psnr"), col("reject_reason"), col("host_bucket"), col("crawl_epoch"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("host_bucket", "crawl_epoch")
       .parquet(s"$workDir/payload")
   }
+
+  /** Back-compat alias. */
+  def write(results: Dataset[FetchResult], workDir: String): Unit =
+    writePayload(results, workDir)
 
   /** Per-(epoch, host_bucket) lineage: which partition wrote what. */
   def lineage(results: Dataset[FetchResult], epoch: Int): Dataset[PartitionLineage] = {
@@ -56,4 +76,10 @@ object PayloadSink {
     Seq(m).toDS().coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/metrics/epoch=${m.epoch}")
   }
+
+  def writeSeenDelta(delta: DataFrame, workDir: String, epoch: Int): Unit =
+    delta.write.mode(SaveMode.Overwrite).parquet(s"$workDir/seen/epoch=$epoch")
+
+  def writeKeyed(ds: Dataset[KeyedUrl], dir: String): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(dir)
 }

@@ -68,6 +68,32 @@ object TextFunctions {
       stopRatio * 0.3 + lenOk * 0.2, 4)
   }
 
+  /** [[qualityScore]] scaled to ×10⁴ integer space with explicit half-up
+    * rounding (`floor(x·10⁴ + 0.5)`) instead of `round(double, 4)`:
+    * `round` is half-up in Spark but build-dependent in DuckDB, so a score
+    * sitting on a 5th-decimal ulp boundary flips the 4th decimal between
+    * engines (observed: spark=0.5388 vs oracle=0.5387). `floor` on the
+    * identical IEEE double is bit-deterministic in both. The double itself
+    * is identical because both sides compute the same formula in the same
+    * operation order. */
+  def qualityScoreX1e4(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?|#@*]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val stops = (stopwordHits(text, EnStop) + stopwordHits(text, DeStop) +
+      stopwordHits(text, FrStop)).cast("double")
+    val alphaTerm = when(len === 0, 0.0).otherwise(alpha / len * 0.35)
+    val punctTerm = when(len === 0, 0.0)
+      .otherwise((lit(1.0) - least(punct * 10.0 / len, lit(1.0))) * 0.15)
+    val stopTerm = when(toks === 0, 0.0)
+      .otherwise(least(stops * 4.0 / toks, lit(1.0)) * 0.3)
+    val lenTerm = when(len >= 200 && len <= 20000, 0.2)
+      .when(len >= 50, 0.1).otherwise(0.0)
+    floor((alphaTerm + punctTerm + stopTerm + lenTerm) * 10000.0 + 0.5)
+      .cast("bigint")
+  }
+
   /** Shift-tolerant 64-bit content fingerprint (native codegen expr). */
   def fingerprint(text: Column, window: Int = 16): Column =
     graft.expressions.GraftFunctions.rollingFingerprint(text, window)

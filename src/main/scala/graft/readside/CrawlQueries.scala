@@ -40,13 +40,15 @@ object CrawlQueries {
       .orderBy(col("host_bucket"))
   }
 
-  /** Robots admission outcome counts per court (mapGroups stage). */
+  /** Robots admission outcome counts per court (mapGroups stage) — one
+    * streamed pass over the flags, no persisted split. */
   def c02RobotsAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val keyed = FrontierSynth.key(
       FrontierSynth.frontier(s, 10000, 60, 42L, 0), 16)
-    val (allowed, denied) = Robots.admit(keyed, Robots.syntheticRules(60, 42L))
-    allowed.toDF().withColumn("admitted", lit(true))
-      .unionByName(denied.toDF().withColumn("admitted", lit(false)))
+    Robots.admitFlagged(keyed, Robots.syntheticRules(60, 42L))
+      .map { case (k, ok) => (k.court, ok) }
+      .toDF("court", "admitted")
       .groupBy(col("court"), col("admitted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("court"), col("admitted"))
@@ -90,4 +92,28 @@ object CrawlQueries {
       .select(col("image_id"), col("host"), col("w"), col("h"), col("phash"))
       .orderBy(col("image_id"))
       .limit(50)
+
+  /** J3 upsert reader: latest-row-wins view over the multi-epoch payload
+    * (the MERGE-less stand-in — a forceUpdate re-crawl appends a new
+    * `crawl_epoch` row; readers dedup by url_hash keeping the newest).
+    * Summarized per epoch so the result stays small. */
+  def c08LatestDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url_hash")).orderBy(col("crawl_epoch").desc)
+    s.read.parquet(s"${crawlDir(s)}/payload")
+      .withColumn("rn__", row_number().over(w))
+      .filter(col("rn__") === 1)
+      .groupBy(col("crawl_epoch"))
+      .agg(count(lit(1)).as("n_latest"),
+        countDistinct(col("url_hash")).as("n_urls"))
+      .orderBy(col("crawl_epoch"))
+  }
+
+  /** P19 reject-reason rollup: typed reject/failure classes per status
+    * (the reference's typed XmlValidationException counters). */
+  def c09RejectReasons(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/payload")
+      .groupBy(col("status"), col("reject_reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"), col("reject_reason"))
 }

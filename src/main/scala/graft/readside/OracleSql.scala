@@ -12,7 +12,7 @@ object OracleSql {
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(l_quantity) AS sum_qty,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                       CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
@@ -38,7 +38,8 @@ object OracleSql {
       ORDER BY c_mktsegment""",
 
     "q04_part_join" -> """
-      SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      SELECT p_brand, count(*) AS n_items,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
       ORDER BY p_brand""",
@@ -147,8 +148,8 @@ object OracleSql {
     "q19_ecli_validate" -> """
       WITH c AS (
         SELECT doc_id,
-               'ECLI:' || CASE WHEN doc_id % 5 = 0 THEN 'XX' ELSE 'DE' END ||
-               ':BGH:' || CAST(1990 + doc_id % 40 AS VARCHAR) || ':' ||
+               'ECLI:' || CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN 'XX' ELSE 'DE' END ||
+               ':BGH:' || CAST(1990 + ((doc_id % 40) + 40) % 40 AS VARCHAR) || ':' ||
                CAST(doc_id AS VARCHAR) AS ecli
         FROM documents)
       SELECT doc_id, ecli,
@@ -165,13 +166,13 @@ object OracleSql {
       WITH raw0 AS (
         SELECT event_id,
                printf('https://h%d.example.org/?docid=%s%07d&p=1',
-                      user_id % 20,
-                      (['KARE','KORE','KSRE','WBRE','JURE'])[CAST(event_id % 5 AS INT) + 1],
-                      event_id % 500) AS raw
+                      ((user_id % 20) + 20) % 20,
+                      (['KARE','KORE','KSRE','WBRE','JURE'])[CAST(((event_id % 5) + 5) % 5 AS INT) + 1],
+                      ((event_id % 500) + 500) % 500) AS raw
         FROM events),
       noisy AS (
         SELECT event_id,
-               CASE WHEN event_id % 7 = 0 THEN regexp_replace(raw, '&', ' &' || chr(9), 'g')
+               CASE WHEN ((event_id % 7) + 7) % 7 = 0 THEN regexp_replace(raw, '&', ' &' || chr(9), 'g')
                     ELSE raw END AS raw
         FROM raw0),
       canon AS (
@@ -204,11 +205,13 @@ object OracleSql {
 
     "q22_langid" -> """
       WITH scored AS (
-        SELECT len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS en,
+        SELECT text IS NULL AS is_null,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS en,
                len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|von|mit|für|den)\b')) AS de,
                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS fr
         FROM documents)
-      SELECT CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'unknown'
+      SELECT CASE WHEN is_null THEN 'unknown'
+                  WHEN en = 0 AND de = 0 AND fr = 0 THEN 'unknown'
                   WHEN en >= de AND en >= fr THEN 'en'
                   WHEN de >= fr THEN 'de'
                   ELSE 'fr' END AS pred_lang,
@@ -228,13 +231,14 @@ object OracleSql {
                     len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS DOUBLE) AS stops
         FROM documents)
       SELECT doc_id,
-             round((CASE WHEN len = 0 THEN 0.0 ELSE (alpha / len) * 0.35 END)
+             CAST(floor(((CASE WHEN len = 0 THEN 0.0 ELSE alpha / len * 0.35 END)
                  + (CASE WHEN len = 0 THEN 0.0
                          ELSE (1.0 - least(punct * 10.0 / len, 1.0)) * 0.15 END)
                  + (CASE WHEN toks = 0 THEN 0.0
                          ELSE least(stops * 4.0 / toks, 1.0) * 0.3 END)
                  + (CASE WHEN len >= 200 AND len <= 20000 THEN 0.2
-                         WHEN len >= 50 THEN 0.1 ELSE 0.0 END), 4) AS quality
+                         WHEN len >= 50 THEN 0.1 ELSE 0.0 END)) * 10000.0 + 0.5)
+               AS BIGINT) AS quality_x1e4
       FROM f ORDER BY doc_id""",
 
     "q24_dedup_exact" -> """
@@ -245,7 +249,8 @@ object OracleSql {
 
     "q25_json_props" -> """
       WITH k AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
-      SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+      SELECT ((k % 10) + 10) % 10 AS k_bucket, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k
       FROM k GROUP BY 1 ORDER BY k_bucket""",
 
     "q32_sort_param" -> """
@@ -296,6 +301,17 @@ object OracleSql {
       SELECT doc_id, CAST(len(eclis) AS BIGINT) AS n_eclis,
              array_to_string(eclis, ',') AS eclis_csv
       FROM extracted ORDER BY doc_id""",
+
+    "q37_metadata_map" -> """
+      SELECT doc_id,
+             'BGH' AS court,
+             printf('AZ-%d', doc_id) AS case_number,
+             printf('ECLI:DE:BGH:2020:%d', doc_id) AS ecli,
+             CAST(2 AS BIGINT) AS n_extras,
+             printf('Region=R%d,Seite=%d',
+                    ((doc_id % 10) + 10) % 10,
+                    ((doc_id % 7) + 7) % 7) AS extras_csv
+      FROM documents ORDER BY doc_id""",
 
     "q28_knn_brute" -> """
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),

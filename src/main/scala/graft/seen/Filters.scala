@@ -164,6 +164,13 @@ final class CuckooFilter(val numBuckets: Int, val maxKicks: Int = 500)
   }
 
   def size: Long = count
+
+  def serialize(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + table.length * 8)
+    bb.putInt(numBuckets); bb.putInt(maxKicks); bb.putLong(count)
+    table.foreach(bb.putLong)
+    bb.array()
+  }
 }
 
 object CuckooFilter {
@@ -173,5 +180,15 @@ object CuckooFilter {
     var b = 16
     while (b < needed && b < (1 << 30)) b <<= 1
     new CuckooFilter(b)
+  }
+
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val nb = bb.getInt(); val mk = bb.getInt(); val cnt = bb.getLong()
+    val f = new CuckooFilter(nb, mk)
+    var i = 0
+    while (i < nb) { f.table(i) = bb.getLong(); i += 1 }
+    f.count = cnt
+    f
   }
 }

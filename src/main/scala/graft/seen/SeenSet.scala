@@ -70,8 +70,12 @@ object SeenSet {
     * Scale envelope: at 10^9 seen keys the segment set is ~1.2 GB — still
     * broadcastable; beyond that use [[unseenTwoTier]] (cogrouped segments,
     * fully distributed). */
+  /** Returns (unseen, cleanup). `cleanup()` must be called AFTER the
+    * unseen rows are materialized downstream: it unpersists the shared
+    * probe pass and destroys the bloom broadcast — without it an epoch
+    * loop leaks one cached dataset + one broadcast per epoch. */
   def unseenTwoTierBroadcast(candidates: Dataset[KeyedUrl], seen: DataFrame,
-      segments: Dataset[(Int, Array[Byte])]): Dataset[KeyedUrl] = {
+      segments: Dataset[(Int, Array[Byte])]): (Dataset[KeyedUrl], () => Unit) = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val segMap = segments.collect().groupBy(_._1).map { case (b, segs) =>
@@ -88,13 +92,22 @@ object SeenSet {
       .drop("maybe_seen__").as[KeyedUrl]
     val maybeSeen = flagged.filter(col("maybe_seen__"))
       .drop("maybe_seen__").as[KeyedUrl]
-    definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+    val out = definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+    // unpersist, NOT destroy: the cached downstream dataset still carries
+    // this plan in its lineage, and task (re)serialization references the
+    // broadcast even when cached partitions short-circuit execution —
+    // destroy() makes any later lineage replay throw INTERNAL_ERROR_
+    // BROADCAST. unpersist() drops the executor copies and lazily
+    // re-broadcasts from the driver if a replay ever needs it.
+    (out, () => { flagged.unpersist(); bc.unpersist() })
   }
 
   /** Two-tier unseen: bloom pre-filter (cogrouped by bucket) + exact
-    * confirm of bloom positives. Returns exactly `unseenExact`'s rows. */
+    * confirm of bloom positives. Returns exactly `unseenExact`'s rows,
+    * plus a cleanup handle (same contract as
+    * [[unseenTwoTierBroadcast]]). */
   def unseenTwoTier(candidates: Dataset[KeyedUrl], seen: DataFrame,
-      segments: Dataset[(Int, Array[Byte])]): Dataset[KeyedUrl] = {
+      segments: Dataset[(Int, Array[Byte])]): (Dataset[KeyedUrl], () => Unit) = {
     val spark = candidates.sparkSession
     import spark.implicits._
     val flagged = candidates.groupByKey(_.host_bucket)
@@ -110,6 +123,7 @@ object SeenSet {
     val definitelyNew = flagged.filter(!_._2).map(_._1)
     val maybeSeen = flagged.filter(_._2).map(_._1)
     // unionByName: the anti-join reorders url_hash to the front
-    definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+    val out = definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+    (out, () => { flagged.unpersist(); () })
   }
 }

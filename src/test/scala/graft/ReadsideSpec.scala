@@ -40,6 +40,22 @@ class ReadsideSpec extends SparkSpec {
     assert(ded.agg(sum("n_copies")).as[Long].head() == total)
   }
 
+  test("q26 pigeonhole blocking is COMPLETE: equals the brute-force hamming≤3 pair set") {
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        graft.expressions.GraftFunctions.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      i <- sh.indices
+      j <- (i + 1) until sh.length
+      if java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2) <= 3
+    } yield (math.min(sh(i)._1, sh(j)._1), math.max(sh(i)._1, sh(j)._1))).toSet
+    val got = SparkEntry.queries("q26_simhash_blocks")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"blocking incomplete/unsound: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+  }
+
   test("q27 minhash-LSH finds pairs that exact jaccard confirms (no junk)") {
     val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
     // every emitted pair already re-verified >= 0.35 by construction;
