@@ -115,20 +115,24 @@ object CrawlLoop {
     // and Dataset.union is positional
     val carried = readKeyed(spark, s"${cfg.workDir}/deferred/epoch=${epoch - 1}")
       .unionByName(readKeyed(spark, s"${cfg.workDir}/retry/epoch=${epoch - 1}"))
+    // candidates: NOT persisted — its only consumer is the dedup window,
+    // and a full-frontier cache write per epoch is pure memory-bandwidth
+    // cost (measured: the state-counts job is the epoch's critical path,
+    // dominated by cache materialization, not compute)
     val candidates = newKeyed.unionByName(carried)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    spark.sparkContext.setJobDescription(s"epoch=$epoch candidates")
-    val nCandidates = candidates.count() // job 1 (also warms the cache)
 
     // 2. intra-epoch first-occurrence dedup (url_hash window), in FLAG
-    // form: duplicate rows stay in the frame so their count folds into
-    // the single state aggregation below instead of its own .count() job.
+    // form: every candidate row stays in the frame (DUP/LIVE), so both
+    // the candidate total and the duplicate count fold into the single
+    // state aggregation below instead of their own .count() jobs.
+    // (A min_by hash-agg variant was measured SLOWER — full-row struct
+    // aggregation drops out of codegen into ObjectHashAggregate; the
+    // window's sort is cheaper than the struct churn.)
     // Duplicates share the canonical URL, so dedup-before-robots is
     // interchangeable with robots-before-dedup for membership/traces;
     // doing it first lets the anti-join reuse the url_hash partitioning.
     val dedupTagged = Politeness.dedupFlagged(candidates)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dupRows = dedupTagged.filter(col("is_dup__"))
     val deduped = dedupTagged.filter(!col("is_dup__")).drop("is_dup__")
       .as[KeyedUrl]
 
@@ -155,21 +159,25 @@ object CrawlLoop {
     val scheduled = Politeness.schedule(unseen, rules, cfg.budgetPerHost)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // single state-count job: dup rows + every scheduling outcome
+    // ONE state-count job covers everything: every candidate row counts
+    // as DUP or LIVE (from the cached dedup frame), every live row
+    // reappears as a scheduling outcome; seen-skip is the residual.
     spark.sparkContext.setJobDescription(s"epoch=$epoch state-counts")
-    val stateCounts = dupRows.select(lit("DUP").as("state"))
+    val stateCounts = dedupTagged
+      .select(when(col("is_dup__"), "DUP").otherwise("LIVE").as("state"))
       .unionByName(scheduled.toDF().select(col("_2").as("state")))
       .groupBy(col("state")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // job 2
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // job 1
     val nDup = stateCounts.getOrElse("DUP", 0L)
+    val nLive = stateCounts.getOrElse("LIVE", 0L)
+    val nCandidates = nDup + nLive
     val nDenied = stateCounts.getOrElse(Politeness.Sched.Denied, 0L)
     val nAdmitted = stateCounts.getOrElse(Politeness.Sched.Admitted, 0L)
     val nDeferred = stateCounts.getOrElse(Politeness.Sched.Deferred, 0L)
-    val nSeenSkipped = nCandidates - nDup - nDenied - nAdmitted - nDeferred
+    val nSeenSkipped = nLive - nDenied - nAdmitted - nDeferred
     // scheduled is materialized: release everything upstream of it
     seenCleanup()
     dedupTagged.unpersist()
-    candidates.unpersist()
 
     val admitted = scheduled.filter(_._2 == Politeness.Sched.Admitted)
       .map { case (k, _, slot) => AdmittedUrl(k.url_canon, k.url_hash,

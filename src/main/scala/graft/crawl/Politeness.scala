@@ -154,4 +154,5 @@ object Politeness {
     candidates.toDF()
       .withColumn("is_dup__", row_number().over(w) > 1)
   }
+
 }

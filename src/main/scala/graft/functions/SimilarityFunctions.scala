@@ -66,6 +66,20 @@ object SimilarityFunctions {
     when(na === 0 || nb === 0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** Plain-Scala cosine over float arrays (driver/centroid-side helper for
+    * the IVF coarse quantizer; the column path is GraftFunctions.cosineSim). */
+  def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -444,6 +444,54 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF-style ANN — the second scale path besides SRP-LSH (q30): a coarse
+    * quantizer of K deterministic centroids (hash-ranked corpus sample:
+    * the k-means++ seeding step kept iteration-free for determinism), one
+    * NARROW assignment pass against the broadcast centroid matrix (no
+    * shuffle — mapPartitions argmax), then the query probes only its
+    * `nprobe` nearest inverted lists and exact-reranks within them.
+    * Scale shape: assignment is embarrassingly parallel; each list holds
+    * ~n/K vectors, probe cost nprobe·n/K ≪ n; K grows with the corpus
+    * (K ≈ √n is the standard choice). nprobe is K/2 here because the
+    * synthetic embeddings are only weakly clustered — real corpora run
+    * nprobe ≈ K/16 at much higher recall. Spark-only; ReadsideSpec checks
+    * recall@10 against the exact q28 top-k. */
+  def q38IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val nprobe = math.max(2, k / 2)
+    // deterministic centroid sample: k corpus vectors ranked by key hash
+    val cents = emb.withColumn("r__", xxhash64(col("vec_id")))
+      .orderBy(col("r__"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val bc = s.sparkContext.broadcast(cents)
+    val assigned = emb.as[(Long, Array[Float])].mapPartitions { rows =>
+      val cs = bc.value
+      rows.map { case (id, v) =>
+        var best = -2.0; var bestC = Long.MaxValue
+        cs.foreach { case (cid, cv) =>
+          val c = SimilarityFunctions.cosineLocal(v, cv)
+          if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+        }
+        (id, bestC, v)
+      }
+    }.toDF("vec_id", "cid", "embedding")
+    val qv = emb.filter(col("vec_id") === 7)
+      .as[(Long, Array[Float])].head()._2
+    val probeCids = cents
+      .map { case (cid, cv) => (cid, SimilarityFunctions.cosineLocal(qv, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1).toSeq
+    assigned.filter(col("cid").isin(probeCids: _*))
+      .select(col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), typedLit(qv)).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

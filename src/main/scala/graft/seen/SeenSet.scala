@@ -85,9 +85,13 @@ object SeenSet {
     val mightContain = org.apache.spark.sql.functions.udf(
       (bucket: Int, hash: Long) =>
         bc.value.get(bucket).exists(_.mightContain(hash)))
+    // the probe is NOT persisted: a bloom probe is a handful of hash ops
+    // per row, while caching the probe output means one more full-frontier
+    // cache write per epoch — memory bandwidth is the measured single-box
+    // ceiling, so the two consumers re-run the cheap probe over the
+    // (already-cached) upstream instead.
     val flagged = candidates
       .withColumn("maybe_seen__", mightContain(col("host_bucket"), col("url_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = flagged.filter(!col("maybe_seen__"))
       .drop("maybe_seen__").as[KeyedUrl]
     val maybeSeen = flagged.filter(col("maybe_seen__"))
@@ -99,7 +103,7 @@ object SeenSet {
     // destroy() makes any later lineage replay throw INTERNAL_ERROR_
     // BROADCAST. unpersist() drops the executor copies and lazily
     // re-broadcasts from the driver if a replay ever needs it.
-    (out, () => { flagged.unpersist(); bc.unpersist() })
+    (out, () => bc.unpersist())
   }
 
   /** Two-tier unseen: bloom pre-filter (cogrouped by bucket) + exact

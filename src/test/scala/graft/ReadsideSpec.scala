@@ -70,6 +70,16 @@ class ReadsideSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("q38 IVF ANN: finds the query vector itself; recall@10 vs exact brute force >= 0.6") {
+    val ivf = SparkEntry.queries("q38_ivf_ann")(spark, dir)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.head == 7L, "own vector must rank first")
+    val exact = SparkEntry.queries("q28_knn_brute")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.toSet.intersect(exact).size >= 6,
+      s"recall too low: ${ivf.toSet.intersect(exact).size}/10")
+  }
+
   test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
     val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
