@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // pass forked-run output through verbatim (no [info]/[error] prefixes):
 // the driver parses graft.Bench's one-line JSON from stdout
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -63,7 +63,8 @@ object SparkEntry {
     "c06_politeness_audit" -> (CrawlQueries.c06PolitenessAudit _),
     "c07_payload_search" -> (CrawlQueries.c07PayloadSearch _),
     "c08_latest_docs" -> (CrawlQueries.c08LatestDocs _),
-    "c09_reject_reasons" -> (CrawlQueries.c09RejectReasons _)
+    "c09_reject_reasons" -> (CrawlQueries.c09RejectReasons _),
+    "c10_discovery" -> (CrawlQueries.c10Discovery _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

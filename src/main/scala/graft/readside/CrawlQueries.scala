@@ -14,7 +14,10 @@ import graft.crawl._
   * entries. */
 object CrawlQueries {
 
-  private val cfgBase = CrawlConfig(workDir = "", totalUrls = 9000,
+  // small: this crawl is memoized once per JVM purely to expose its
+  // output tables to the c0x queries — the benched cost should be the
+  // queries, not the fixture (CrawlSpec/CrawlBench own the crawl itself)
+  private val cfgBase = CrawlConfig(workDir = "", totalUrls = 6000,
     epochs = 3, numHosts = 60, buckets = 16, budgetPerHost = 30, seed = 42L)
 
   @volatile private var cachedDir: String = _
@@ -116,4 +119,22 @@ object CrawlQueries {
       .groupBy(col("status"), col("reject_reason"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status"), col("reject_reason"))
+
+  /** S5 discovery: driver-side binary search bounds the range (log₂
+    * probes), then the distributed HEAD-probe stage scans only the
+    * bounded range; monthly availability rollup. */
+  def c10Discovery(s: SparkSession, dir: String): DataFrame = {
+    import java.time.LocalDate
+    val seed = 42L
+    val horizon = LocalDate.of(2025, 12, 31)
+    val (earliest, _) = Discovery.binarySearchEarliest(
+      LocalDate.of(2019, 1, 1), horizon,
+      d => Discovery.availableOn(d, seed, horizon))
+    Discovery.probeRange(s, earliest.get.minusDays(30), earliest.get.plusDays(150),
+        seed, horizon)
+      .groupBy(trunc(col("date"), "month").as("month"))
+      .agg(count(lit(1)).as("n_probed"),
+        count(when(col("available"), 1)).as("n_available"))
+      .orderBy(col("month"))
+  }
 }

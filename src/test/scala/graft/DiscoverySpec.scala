@@ -1,0 +1,58 @@
+package graft
+
+import java.time.LocalDate
+import graft.crawl.Discovery
+
+/** S5/U3: HEAD-probe discovery — binary-search earliest (driver, log₂
+  * probes) and the distributed probe stage. */
+class DiscoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seed = 42L
+  private val horizon = LocalDate.of(2025, 12, 31)
+  private val lo = LocalDate.of(2019, 1, 1)
+
+  test("binary search finds the exact earliest available date") {
+    val (got, _) = Discovery.binarySearchEarliest(lo, horizon,
+      d => Discovery.availableOn(d, seed, horizon))
+    // reference answer by linear scan
+    val linear = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(horizon))
+      .find(d => Discovery.availableOn(d, seed, horizon))
+    assert(got == linear)
+    assert(got.contains(Discovery.earliestFor(seed)))
+  }
+
+  test("binary search uses O(log n) probes, not a scan") {
+    var maxProbes = 0
+    for (s <- 0L until 25L) {
+      val (got, probes) = Discovery.binarySearchEarliest(lo, horizon,
+        d => Discovery.availableOn(d, s, horizon))
+      assert(got.contains(Discovery.earliestFor(s)), s"seed $s")
+      maxProbes = math.max(maxProbes, probes)
+    }
+    val range = horizon.toEpochDay - lo.toEpochDay + 1
+    val bound = (math.log(range.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(maxProbes <= bound, s"$maxProbes probes > log2 bound $bound")
+  }
+
+  test("empty / fully-unavailable ranges return None") {
+    assert(Discovery.binarySearchEarliest(horizon, lo, _ => true)._1.isEmpty)
+    val before = Discovery.earliestFor(seed).minusDays(100)
+    val (none, probes) = Discovery.binarySearchEarliest(lo, before,
+      d => Discovery.availableOn(d, seed, horizon))
+    assert(none.isEmpty && probes == 1, "one probe decides an empty window")
+  }
+
+  test("distributed probe stage matches the scalar predicate row-for-row") {
+    val earliest = Discovery.earliestFor(seed)
+    val start = earliest.minusDays(10)
+    val end = earliest.plusDays(20)
+    val rows = Discovery.probeRange(spark, start, end, seed, horizon)
+      .as[(java.sql.Date, Boolean)].collect().toMap
+    assert(rows.size == 31)
+    rows.foreach { case (d, avail) =>
+      assert(avail == Discovery.availableOn(d.toLocalDate, seed, horizon), s"$d")
+    }
+  }
+}

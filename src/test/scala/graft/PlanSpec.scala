@@ -1,0 +1,58 @@
+package graft
+
+import graft.readside.Queries
+
+/** Physical-plan regression guards: the properties that make these
+  * operators survive a 100× scale-up are plan shapes, not results —
+  * filter/column pushdown reaching the parquet scan, broadcast joins for
+  * small dims, map-side partial aggregation, and group keys that don't
+  * ship document payloads. Asserting the shapes keeps a future refactor
+  * from silently regressing them. (sparkPlan, pre-AQE: scans and build
+  * sides are decided here; AQE only re-optimizes exchanges at runtime.) */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q02: range + quantity filters PUSHED to the parquet scan; columns pruned") {
+    val p = plan(Queries.q02FilterProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment"), "scan must not read unused columns")
+  }
+
+  test("q17: string-contains + equality predicates pushed down") {
+    val p = plan(Queries.q17Search(spark, dir))
+    assert(p.contains("StringContains(text,spark)"))
+    assert(p.contains("EqualTo(lang,en)"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q04: small dim side is a broadcast hash join; fact scan pruned to 2 columns") {
+    val p = plan(Queries.q04PartJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("struct<l_partkey:bigint,l_quantity:double>"),
+      "lineitem scan must read only join key + aggregated column")
+  }
+
+  test("q01: two-phase aggregation (map-side partial before the exchange)") {
+    val p = plan(Queries.q01PricingSummary(spark, dir))
+    assert(p.contains("partial_sum"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q24: dedup group key is the 192-bit fingerprint, never the document text") {
+    val p = plan(Queries.q24DedupExact(spark, dir))
+    assert(p.contains("keys=[h1__"))
+    assert(p.contains("xxhash64"))
+    // text is read by the scan (hash input) but must not be an agg key
+    assert(!p.contains("keys=[text"), "grouping by full text ships the corpus")
+  }
+
+  test("q03/q05: dimension joins are broadcast, not shuffled") {
+    assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
+    val p5 = plan(Queries.q05RegionRollup(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p5).size == 2)
+  }
+}
