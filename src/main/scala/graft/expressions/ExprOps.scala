@@ -94,6 +94,53 @@ object ExprOps {
     x
   }
 
+  /** Distinct 64-bit FNV hashes of the k-BYTE shingles of the normalized
+    * text (lowercased, ASCII whitespace runs collapsed to one space) —
+    * the hashed form of `SimilarityFunctions.charShingles`: shingle
+    * EQUALITY is all MinHash/Jaccard ever needs, and 8-byte hashes ship
+    * through the explode/shuffle instead of k-char strings (collisions
+    * at 64 bits are nil at any corpus size). Shorter-than-k text hashes
+    * whole; output order = first occurrence (deterministic). */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val lower = text.toLowerCase.getBytes
+    val buf = new Array[Byte](lower.length)
+    var m = 0
+    var i = 0
+    var inWs = false
+    while (i < lower.length) {
+      val b = lower(i)
+      if (isWs(b)) {
+        if (!inWs) { buf(m) = ' '; m += 1 }
+        inWs = true
+      } else { buf(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    if (m < k)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(fnv64(buf, 0, m)))
+    val nWin = m - k + 1
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val table = new Array[Long](cap) // open addressing; 0 = empty slot
+    val out = new Array[Long](nWin)
+    var cnt = 0
+    i = 0
+    while (i < nWin) {
+      var h = fnv64(buf, i, i + k)
+      if (h == 0L) h = 1L
+      var idx = (mix(h) & (cap - 1)).toInt
+      var seen = false
+      while (!seen && table(idx) != 0L) {
+        if (table(idx) == h) seen = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Sign-random-projection LSH bucket for a float embedding: `nBits`
     * deterministic hash-derived hyperplanes; sign bits packed to a long.
     * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */

@@ -58,6 +58,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+case class ShingleHashes64Expr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.shingleHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.shingleHashes($c, $k);")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes64Expr =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes64"
+}
+
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -85,4 +98,7 @@ object GraftFunctions {
 
   def srpBucket(vec: Column, nBits: Int = 8, seed: Long = 42L): Column =
     Bridge.column(SrpBucketExpr(Bridge.expression(vec), nBits, seed))
+
+  def shingleHashes(text: Column, k: Int = 5): Column =
+    Bridge.column(ShingleHashes64Expr(Bridge.expression(text), k))
 }

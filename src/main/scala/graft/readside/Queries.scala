@@ -317,21 +317,24 @@ object Queries {
     * candidates → relational jaccard (shingle equi-join intersection
     * counts). The nested higher-order-function form recomputes the
     * shingle expression per seed×band×comparison under CollapseProject
-    * and falls out of codegen — measured ~1000× slower. */
+    * and falls out of codegen — measured ~1000× slower. Shingles are
+    * 64-bit hashes from the native codegen ShingleHashes64Expr, not
+    * strings: equality is all MinHash/Jaccard needs, and 8-byte keys cut
+    * the explode/shuffle volume several-fold. */
   def q27MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val numHashes = 16
     val bands = 4
     val rowsPerBand = 4
     // single scan of documents, shared by the shingling and the corpus
     // count; repartition before the explode — a single parquet file would
-    // put the whole (interpreted higher-order) shingling in one task
+    // put the whole shingling in one task
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
     val nDocs = docs.count()
     val raw = docs
       .select(col("doc_id"),
-        explode(SimilarityFunctions.charShingles(col("text"), 5)).as("shingle"))
+        explode(GraftFunctions.shingleHashes(col("text"), 5)).as("shingle"))
       .persist()
     // stop-shingle removal (Broder-style): shingles present in >50% of the
     // corpus carry no dedup signal but dominate every minhash min —

@@ -129,6 +129,37 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(0)) < 1e-12)
   }
 
+  test("shingleHashes: normalization, distinctness, jaccard-equivalence to string shingles") {
+    val df = Seq(
+      ("a", "The  quick\tbrown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"), // = a modulo case/ws
+      ("c", "the quick brown fox jumped over the lazy dog"),
+      ("d", "zzzz"), // shorter than k
+      ("e", "completely unrelated content here entirely")
+    ).toDF("id", "text")
+      .withColumn("hh", GraftFunctions.shingleHashes($"text", 5))
+      .withColumn("sh", SimilarityFunctions.charShingles($"text", 5))
+    val rows = df.select($"id", $"hh", $"sh")
+      .as[(String, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // case/whitespace normalization: a ≡ b
+    assert(rows("a")._1.toSet == rows("b")._1.toSet)
+    // distinct, and on ASCII text 1:1 with the string shingles
+    rows.foreach { case (id, (hh, sh)) =>
+      assert(hh.distinct.size == hh.size, id)
+      assert(hh.size == sh.size, s"$id: hashed=${hh.size} string=${sh.size}")
+    }
+    assert(rows("d")._1.size == 1) // short text hashes whole
+    // jaccard over hashes == jaccard over strings
+    def jac[T](x: Set[T], y: Set[T]) =
+      if ((x ++ y).isEmpty) 0.0 else (x & y).size.toDouble / (x ++ y).size
+    for (p <- Seq(("b", "c"), ("b", "e"))) {
+      val jh = jac(rows(p._1)._1.toSet, rows(p._2)._1.toSet)
+      val js = jac(rows(p._1)._2.toSet, rows(p._2)._2.toSet)
+      assert(math.abs(jh - js) < 1e-12, s"$p hash=$jh str=$js")
+    }
+  }
+
   test("shingles, minhash, lsh bands, jaccard") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
