@@ -59,6 +59,25 @@ object EventStreams {
         })
   }
 
+  /** ST1/J1 as a TRUE stream: URL-seen dedup with streaming state — the
+    * first occurrence of each url_hash passes, re-presentations are
+    * suppressed across micro-batches (state-store-backed exact dedup;
+    * the epoch loop's seen store, expressed as Structured Streaming
+    * keyed state). At 10^10 keys the unbounded-state form is bounded by
+    * `dropDuplicatesWithinWatermark` (freshness-window semantics,
+    * mirroring the reference's retry-after window) or replaced by the
+    * batch two-tier bloom path. */
+  def streamingSeenDedup(urls: DataFrame): DataFrame =
+    urls.dropDuplicates("url_hash")
+
+  /** Watermark-bounded variant: state for a url_hash is droppable once
+    * the watermark passes it — the scalable streaming dedup. */
+  def streamingSeenDedupBounded(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("url_hash")
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

@@ -30,6 +30,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming URL-seen dedup: first occurrence passes, re-presentations suppressed across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = EventStreams.streamingSeenDedup(
+      input.toDS().toDF("url_hash", "url"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("seen_dedup_test")
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (1L, "a")) // intra-batch dup
+      q.processAllAvailable()
+      val batch1 = spark.table("seen_dedup_test")
+        .select($"url_hash").as[Long].collect().sorted
+      assert(batch1.toSeq == Seq(1L, 2L))
+      input.addData((1L, "a"), (3L, "c")) // cross-batch re-presentation
+      q.processAllAvailable()
+      val all = spark.table("seen_dedup_test")
+        .select($"url_hash").as[Long].collect().sorted
+      assert(all.toSeq == Seq(1L, 2L, 3L), "url 1 must stay suppressed by streaming state")
+    } finally q.stop()
+  }
+
   test("sessionize with mapGroupsWithState over a rate-limited stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
