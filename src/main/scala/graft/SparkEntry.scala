@@ -64,7 +64,8 @@ object SparkEntry {
     "c07_payload_search" -> (CrawlQueries.c07PayloadSearch _),
     "c08_latest_docs" -> (CrawlQueries.c08LatestDocs _),
     "c09_reject_reasons" -> (CrawlQueries.c09RejectReasons _),
-    "c10_discovery" -> (CrawlQueries.c10Discovery _)
+    "c10_discovery" -> (CrawlQueries.c10Discovery _),
+    "c11_image_features" -> (CrawlQueries.c11ImageFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

