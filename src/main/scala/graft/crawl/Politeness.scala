@@ -102,8 +102,17 @@ object Politeness {
     * the input is exhausted (Iterator ++ is by-name, so the flush sees
     * the final heaps). Package-visible so the skew spec can assert the
     * survivor bound directly. */
+  /** Heap-state ceiling per task: once this many hosts have live heaps,
+    * rows of additional hosts bypass the prefilter (straight to
+    * Survivor — always safe, phase 1 ranks them exactly). Bounds task
+    * memory at ~maxHeapHosts×budget rows even with millions of distinct
+    * hosts per partition; the hot (Zipf) hosts grab heaps first, which
+    * is where the pruning pays. */
+  private[graft] val MaxHeapHosts = 100000
+
   private[graft] def prefilter(unseen: Dataset[KeyedUrl],
-      rules: Map[String, RobotsRule], budgetPerHost: Int)
+      rules: Map[String, RobotsRule], budgetPerHost: Int,
+      maxHeapHosts: Int = MaxHeapHosts)
       : Dataset[(KeyedUrl, String, Int)] = {
     val spark = unseen.sparkSession
     import spark.implicits._
@@ -116,14 +125,19 @@ object Politeness {
       val decided = rows.flatMap { r =>
         if (!Robots.allows(bc.value.get(r.host), r.path))
           Iterator.single((r, Sched.Denied, 0))
-        else {
-          val h = heaps.getOrElseUpdate(r.host,
-            scala.collection.mutable.PriorityQueue.empty[KeyedUrl])
-          if (h.size < budgetPerHost) { h.enqueue(r); Iterator.empty }
-          else if (ordKey.lt(r, h.head)) {
-            val evicted = h.dequeue(); h.enqueue(r)
-            Iterator.single((evicted, Sched.Deferred, 0))
-          } else Iterator.single((r, Sched.Deferred, 0))
+        else heaps.get(r.host) match {
+          case None if heaps.size >= maxHeapHosts =>
+            Iterator.single((r, Sched.Survivor, 0)) // valve: no heap left
+          case existing =>
+            val h = existing.getOrElse {
+              val q = scala.collection.mutable.PriorityQueue.empty[KeyedUrl]
+              heaps.update(r.host, q); q
+            }
+            if (h.size < budgetPerHost) { h.enqueue(r); Iterator.empty }
+            else if (ordKey.lt(r, h.head)) {
+              val evicted = h.dequeue(); h.enqueue(r)
+              Iterator.single((evicted, Sched.Deferred, 0))
+            } else Iterator.single((r, Sched.Deferred, 0))
         }
       }
       decided ++ heaps.valuesIterator.flatMap(_.iterator)

@@ -335,6 +335,29 @@ class CrawlSpec extends SparkSpec {
     assert(seenResumed == sim.seen)
   }
 
+  test("prefilter memory valve: past the heap-host ceiling rows bypass safely (completeness intact)") {
+    val budget = 10
+    val hosts = (0 until 5).map(i => s"h$i.example")
+    val allow = hosts.map(h => h -> RobotsRule(h, allowAll = true, Seq())).toMap
+    val rows = spark.range(5000).map { i =>
+      val host = hosts((i % 5).toInt)
+      KeyedUrl(s"https://$host/?docid=D$i", i, s"D$i", "BGH", host,
+        (i % 4).toInt, "/docs", i / 100, i % 100, 0, new java.sql.Timestamp(0L))
+    }.repartition(4)
+    val pre = Politeness.prefilter(rows, allow, budget, maxHeapHosts = 2).collect()
+    assert(pre.length >= 5000 - 0 && pre.map(_._1.url_hash).distinct.length == 5000,
+      "every input row must come out exactly once")
+    val survivors = pre.filter(_._2 == Politeness.Sched.Survivor).map(_._1)
+    // completeness invariant: each host's true budget-earliest rows all survive
+    val byHost = rows.collect().groupBy(_.host)
+    byHost.foreach { case (h, all) =>
+      val top = all.sortBy(k => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+        .take(budget).map(_.url_hash).toSet
+      val surv = survivors.filter(_.host == h).map(_.url_hash).toSet
+      assert(top.subsetOf(surv), s"host $h lost admissible rows to the valve")
+    }
+  }
+
   test("determinism across parallelism: local[4] session rerun gives same seen set") {
     val c = cfg.copy(workDir = tmpDir())
     CrawlLoop.run(spark, c)
