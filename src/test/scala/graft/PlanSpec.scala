@@ -55,4 +55,28 @@ class PlanSpec extends SparkSpec {
     val p5 = plan(Queries.q05RegionRollup(spark, dir))
     assert("BroadcastHashJoin".r.findAllIn(p5).size == 2)
   }
+
+  test("epoch spine shuffle budget: url_hash dedup + host repartition only; seen-confirm broadcast; map-side window pruning") {
+    import org.apache.spark.sql.functions._
+    import graft.crawl._
+    val keyed = FrontierSynth.key(FrontierSynth.frontier(spark, 20000, 40, 42L, 0), 8)
+    val deduped = Politeness.dedupWithinEpoch(keyed)
+    val seen = keyed.filter(col("url_hash") % 7 === 0)
+      .select(col("url_hash"), col("host_bucket")).toDF()
+    val unseen = graft.seen.SeenSet.unseenExact(deduped, seen)
+    val sched = Politeness.schedule(unseen, Robots.syntheticRules(40, 42L), 25)
+    sched.write.format("noop").mode("overwrite").save()
+    val p = sched.queryExecution.executedPlan.toString
+    // wide shuffles partition ONLY on url_hash (dedup window, AQE-reused
+    // across the union branches) and host (politeness) — anything else is
+    // a regression
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("url_hash", "host"), s"unexpected shuffle keys: $keys")
+    // the seen confirm must be a broadcast anti-join, not a shuffled one
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    // Spark 4 WindowGroupLimit: rank<=1 pruned MAP-SIDE before the window
+    // shuffle — the dedup's free map-side combine
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
+  }
 }
