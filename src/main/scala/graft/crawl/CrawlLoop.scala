@@ -185,33 +185,41 @@ object CrawlLoop {
         k.entry_seq, k.discovered_epoch, k.lastmod, slot) }
     val deferred = scheduled.filter(_._2 == Politeness.Sched.Deferred).map(_._1)
 
-    // 5. simulated fetch + decode + invariant validation
-    val results = Fetch.fetch(admitted, epoch).persist(StorageLevel.MEMORY_AND_DISK)
+    // 5. simulated fetch + decode + invariant validation — NOT cached:
+    // results carry the full payload bytes, and pushing them through the
+    // block-manager cache is pure memory-bandwidth cost on the bandwidth-
+    // bound box. The payload is written ONCE; every metadata aggregation
+    // below reads slim columns back from the written columnar table
+    // (column-pruned parquet read ≪ caching binaries).
+    val results = Fetch.fetch(admitted, epoch)
 
     // 7. sinks (idempotent per epoch), all behind the PayloadStore trait
     spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
     store.writePayload(results, cfg.workDir)
+    val written = spark.read.parquet(s"${cfg.workDir}/payload")
+      .filter(col("crawl_epoch") === epoch) // partition-pruned
+
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
-    store.writeLineage(PayloadSink.lineage(results, epoch), cfg.workDir, epoch)
+    store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
 
     // seen delta = terminal-success rows only (reference guard:
     // status==DOWNLOADED ⇒ skip; CrawlerOrchestrationService.java:114-115)
     spark.sparkContext.setJobDescription(s"epoch=$epoch seen-write")
     store.writeSeenDelta(
-      results.filter(_.status == Status.Processed)
-        .map(r => (r.url_hash, r.host_bucket))
-        .toDF("url_hash", "host_bucket"),
+      written.filter(col("status") === Status.Processed)
+        .select(col("url_hash"), col("host_bucket").cast("int").as("host_bucket")),
       cfg.workDir, epoch)
     spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
 
     // retry queue = transient/corrupt FAILED rows, eligible next epoch.
-    // Derived from the ACTUAL validated statuses in `results` (broadcast
-    // semi-join on the small FAILED sliver — no shuffle), never recomputed
-    // from expected outcomes: if validation ever disagreed with the
-    // expectation table, the engine would otherwise put one URL in BOTH
-    // the seen store and the retry queue and drift from itself.
-    val failedKeys = results.filter(_.status == Status.Failed)
-      .toDF().select("url_hash")
+    // Derived from the ACTUAL validated statuses in the written table
+    // (broadcast semi-join on the small FAILED sliver — no shuffle),
+    // never recomputed from expected outcomes: if validation ever
+    // disagreed with the expectation table, the engine would otherwise
+    // put one URL in BOTH the seen store and the retry queue and drift
+    // from itself.
+    val failedKeys = written.filter(col("status") === Status.Failed)
+      .select("url_hash")
     store.writeKeyed(
       admitted.toDF()
         .join(broadcast(failedKeys), Seq("url_hash"), "left_semi")
@@ -222,13 +230,13 @@ object CrawlLoop {
     spark.sparkContext.setJobDescription(s"epoch=$epoch deferred-write")
     store.writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
 
-    // one pass over results for all outcome metrics
+    // one pass over the written slim columns for all outcome metrics
     spark.sparkContext.setJobDescription(s"epoch=$epoch result-metrics")
-    val mrow = results.toDF().agg(
+    val mrow = written.agg(
       count(when(col("status") === Status.Processed, 1)).as("p"),
       count(when(col("status") === Status.Failed, 1)).as("f"),
       count(when(col("status") === Status.Rejected, 1)).as("r"),
-      coalesce(sum(length(col("bytes")).cast("long")), lit(0L)).as("b"),
+      coalesce(sum(col("n_bytes")), lit(0L)).as("b"),
       countDistinct(col("host")).as("h")).head() // job 3
     val durationMs = (System.nanoTime() - tEpoch0) / 1000000L
     // A8/A9/A11 derived metrics (BulkCrawlProgress.java:254-329 analogue):
@@ -260,7 +268,7 @@ object CrawlLoop {
     // flips the epoch to "done" (Iceberg-snapshot stand-in)
     commit(spark, cfg.workDir, m)
 
-    scheduled.unpersist(); results.unpersist()
+    scheduled.unpersist()
     m
   }
 

@@ -35,15 +35,19 @@ trait PayloadStore extends Serializable {
 object PayloadSink extends PayloadStore {
 
   /** Append this epoch's results under payload/, partitioned
-    * (host_bucket, crawl_epoch). */
+    * (host_bucket, crawl_epoch). `n_bytes` is materialized at write time
+    * so every downstream metadata aggregation (lineage, metrics, stats)
+    * reads a long column instead of re-scanning the binary payload. */
   def writePayload(results: Dataset[FetchResult], workDir: String): Unit = {
     val spark = results.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     results.toDF()
-      .select(col("image_id"), col("bytes"), col("w"),
-        col("h"), col("fmt"), col("caption"), col("phash"), col("url_hash"),
-        col("url_canon"), col("host"), col("slot"), col("status"),
-        col("psnr"), col("reject_reason"), col("host_bucket"), col("crawl_epoch"))
+      .select(col("image_id"), col("bytes"),
+        coalesce(length(col("bytes")).cast("long"), lit(0L)).as("n_bytes"),
+        col("w"), col("h"), col("fmt"), col("caption"), col("phash"),
+        col("url_hash"), col("url_canon"), col("host"), col("slot"),
+        col("status"), col("psnr"), col("reject_reason"),
+        col("host_bucket"), col("crawl_epoch"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("host_bucket", "crawl_epoch")
       .parquet(s"$workDir/payload")
@@ -53,17 +57,19 @@ object PayloadSink extends PayloadStore {
   def write(results: Dataset[FetchResult], workDir: String): Unit =
     writePayload(results, workDir)
 
-  /** Per-(epoch, host_bucket) lineage: which partition wrote what. */
-  def lineage(results: Dataset[FetchResult], epoch: Int): Dataset[PartitionLineage] = {
-    val spark = results.sparkSession
+  /** Per-(epoch, host_bucket) lineage from the WRITTEN payload frame
+    * (columns: host_bucket, url_hash, n_bytes): which partition wrote
+    * what. Computed post-write so the binary column never needs caching. */
+  def lineage(written: org.apache.spark.sql.DataFrame, epoch: Int): Dataset[PartitionLineage] = {
+    val spark = written.sparkSession
     import spark.implicits._
-    results.toDF()
+    written
       .groupBy(col("host_bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(length(col("bytes")).cast("long")).as("n_bytes"),
+        sum(col("n_bytes")).as("n_bytes"),
         min(col("url_hash")).as("min_url_hash"),
         max(col("url_hash")).as("max_url_hash"))
-      .select(lit(epoch).as("epoch"), col("host_bucket"),
+      .select(lit(epoch).as("epoch"), col("host_bucket").cast("int").as("host_bucket"),
         col("n_rows"), col("n_bytes"), col("min_url_hash"), col("max_url_hash"))
       .as[PartitionLineage]
   }

@@ -73,7 +73,7 @@ object CrawlQueries {
     s.read.parquet(s"${crawlDir(s)}/payload")
       .groupBy(col("fmt"), col("status"))
       .agg(count(lit(1)).as("n"), min(col("psnr")).as("min_psnr"),
-        sum(length(col("bytes")).cast("long")).as("total_bytes"))
+        sum(col("n_bytes")).as("total_bytes")) // slim column, not length(bytes)
       .orderBy(col("fmt"), col("status"))
 
   /** Politeness audit: distribution of per-host admitted counts per epoch
