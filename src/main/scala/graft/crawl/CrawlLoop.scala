@@ -131,6 +131,15 @@ object CrawlLoop {
     // Duplicates share the canonical URL, so dedup-before-robots is
     // interchangeable with robots-before-dedup for membership/traces;
     // doing it first lets the anti-join reuse the url_hash partitioning.
+    // PERSISTED — for speed AND as the partitioning pin: schedule()'s
+    // phase-0 prefilter classifies rows per PARTITION and is evaluated by
+    // two separate consumer subtrees, so its input partitioning must be
+    // IDENTICAL across executions (measured drift otherwise: seen-set +34
+    // trace diffs). Rows reaching the prefilter either flow narrowly from
+    // this cache (partitioning pinned here) or through the confirm join,
+    // whose output is content-deterministically repartitioned inside
+    // unseenTwoTierBroadcast. (A no-cache variant re-ran the dedup window
+    // per consumer: 86-111 s vs 64 s at 32 cores — rejected.)
     val dedupTagged = Politeness.dedupFlagged(candidates)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deduped = dedupTagged.filter(!col("is_dup__")).drop("is_dup__")
@@ -143,7 +152,7 @@ object CrawlLoop {
     // residual of the state aggregation (every candidate is exactly one
     // of dup/seen-skipped/denied/admitted/deferred).
     val seen = readSeen(spark, cfg.workDir, epoch)
-    val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
+    val (unseenRaw, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
       if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
         val expectedPerBucket = math.max(64L,
@@ -152,6 +161,7 @@ object CrawlLoop {
           expectedPerBucket, cfg.bloomFpp)
         SeenSet.unseenTwoTierBroadcast(deduped, seen, segments)
       } else (SeenSet.unseenExact(deduped, seen), () => ())
+    val unseen = unseenRaw
 
     // 4. fused host stage: robots admission + politeness rank + budget —
     // map-side deny/top-k prefilter, then one repartition(host)+sort pass

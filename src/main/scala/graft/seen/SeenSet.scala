@@ -96,7 +96,17 @@ object SeenSet {
       .drop("maybe_seen__").as[KeyedUrl]
     val maybeSeen = flagged.filter(col("maybe_seen__"))
       .drop("maybe_seen__").as[KeyedUrl]
-    val out = definitelyNew.unionByName(unseenExact(maybeSeen, seen))
+    // the confirm branch's output is repartitioned CONTENT-deterministically
+    // (fixed partition count + hash of the row key — AQE never re-coalesces
+    // an explicit numPartitions): downstream partition-sensitive passes
+    // (the politeness prefilter) may evaluate this subtree more than once,
+    // and at scale the confirm anti-join is a shuffled join whose output
+    // partitioning AQE could otherwise re-plan per evaluation. The sliver
+    // is small (fp-rate + true-dup fraction), so the pin costs little.
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val confirmed = unseenExact(maybeSeen, seen).toDF()
+      .repartition(parts, col("url_hash")).as[KeyedUrl]
+    val out = definitelyNew.unionByName(confirmed)
     // unpersist, NOT destroy: the cached downstream dataset still carries
     // this plan in its lineage, and task (re)serialization references the
     // broadcast even when cached partitions short-circuit execution —
