@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_bloom_udaf" -> (Queries.q36BloomUdaf _),
     "q37_metadata_map" -> (Queries.q37MetadataMap _),
     "q38_ivf_ann" -> (Queries.q38IvfAnn _),
+    "q39_ngram_jaccard" -> (Queries.q39NgramJaccard _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -302,6 +302,31 @@ object OracleSql {
              array_to_string(eclis, ',') AS eclis_csv
       FROM extracted ORDER BY doc_id""",
 
+    "q39_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id < 40),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' '))) END AS ngs
+        FROM toks),
+      sizes AS (SELECT doc_id, len(ngs) AS sz FROM grams),
+      g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+             CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter >= 2
+      ORDER BY id_a, id_b""",
+
     "q37_metadata_map" -> """
       SELECT doc_id,
              'BGH' AS court,

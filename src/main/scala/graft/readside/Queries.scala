@@ -551,6 +551,33 @@ object Queries {
       .select(col("doc_id"), col("n_eclis"), concat_ws(",", col("eclis")).as("eclis_csv"))
       .orderBy(col("doc_id"))
 
+  /** Word n-gram Jaccard near-dup evidence (the n-gram variant of the
+    * dedup family) in fully RELATIONAL form: distinct word-3grams per
+    * doc → explode → equi-self-join for intersection counts → sizes
+    * joined back. Integer outputs only (n_inter, n_union) so the DuckDB
+    * parity never touches float rounding; jaccard = n_inter/n_union is
+    * derivable. Restricted to a deterministic doc subset — the all-pairs
+    * form is quadratic by design here; the scale path is the MinHash
+    * pipeline (q27) whose candidates this measure confirms. */
+  def q39NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        SimilarityFunctions.wordNgrams(col("text"), 3).as("ngs"))
+    val sizes = docs.select(col("doc_id"), size(col("ngs")).as("sz"))
+    val g = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
+    g.as("a").join(g.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(col("n_inter") >= 2)
+      .select(col("id_a"), col("id_b"),
+        col("n_inter").cast("bigint").as("n_inter"),
+        (col("sz_a") + col("sz_b") - col("n_inter")).cast("bigint").as("n_union"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** P9/P10 metadata-table extraction: label/value lines parsed into a
     * `MapType(String,String)` column (the reference's td.TD30-label /
     * td.TD70-value walk, service/HtmlContentExtractionService.java:100-138),
