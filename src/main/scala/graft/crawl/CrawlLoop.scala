@@ -206,8 +206,20 @@ object CrawlLoop {
     // 7. sinks (idempotent per epoch), all behind the PayloadStore trait
     spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
     store.writePayload(results, cfg.workDir)
-    val written = spark.read.parquet(s"${cfg.workDir}/payload")
-      .filter(col("crawl_epoch") === epoch) // partition-pruned
+    // read back ONLY this epoch's partition directories (listing the whole
+    // payload tree would grow linearly with crawl age; at 10^4+ epochs the
+    // file listing, not the data, becomes the cost)
+    val written = {
+      val fs = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leaves = (0 until cfg.buckets)
+        .map(b => s"${cfg.workDir}/payload/host_bucket=$b/crawl_epoch=$epoch")
+        .filter(d => fs.exists(new Path(d)))
+      if (leaves.isEmpty)
+        spark.read.parquet(s"${cfg.workDir}/payload")
+          .filter(col("crawl_epoch") === epoch) // degenerate epoch: fall back
+      else spark.read.option("basePath", s"${cfg.workDir}/payload")
+        .parquet(leaves: _*)
+    }
 
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
     store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
