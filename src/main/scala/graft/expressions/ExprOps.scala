@@ -141,6 +141,60 @@ object ExprOps {
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** Distinct 64-bit FNV hashes of the word n-grams of the normalized
+    * text (lowercased, ASCII whitespace runs collapsed to single spaces) —
+    * the hashed form of `SimilarityFunctions.wordNgrams`: each hash
+    * covers the byte span of n consecutive tokens INCLUDING the single
+    * separating spaces, which equals hashing the `concat_ws(" ", ...)`
+    * string form. Fewer than n tokens → whole text hashes as one gram.
+    * Output order = first occurrence. */
+  def wordNgramHashes(text: UTF8String, n: Int): ArrayData = {
+    val lower = text.toLowerCase.getBytes
+    // normalize: collapse ws runs to ' ', drop leading/trailing ws
+    val buf = new Array[Byte](lower.length)
+    var m = 0
+    var i = 0
+    var inWs = true // leading ws dropped
+    while (i < lower.length) {
+      val b = lower(i)
+      if (isWs(b)) { if (!inWs && m > 0) { buf(m) = ' '; m += 1 }; inWs = true }
+      else { buf(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    if (m > 0 && buf(m - 1) == ' ') m -= 1 // trailing collapsed ws
+    // token start offsets
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    i = 0
+    while (i < m) { if (buf(i) == ' ') starts += i + 1; i += 1 }
+    val nTok = if (m == 0) 0 else starts.length
+    if (nTok < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(fnv64(buf, 0, m)))
+    val nGrams = nTok - n + 1
+    var cap = 4
+    while (cap < nGrams * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val out = new Array[Long](nGrams)
+    var cnt = 0
+    i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = if (i + n < nTok) starts(i + n) - 1 else m // excl. trailing space
+      var h = fnv64(buf, from, until)
+      if (h == 0L) h = 1L
+      var idx = (mix(h) & (cap - 1)).toInt
+      var seen = false
+      while (!seen && table(idx) != 0L) {
+        if (table(idx) == h) seen = true
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Sign-random-projection LSH bucket for a float embedding: `nBits`
     * deterministic hash-derived hyperplanes; sign bits packed to a long.
     * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */

@@ -71,6 +71,19 @@ case class ShingleHashes64Expr(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes64"
 }
 
+case class WordNgramHashes64Expr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.wordNgramHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.wordNgramHashes($c, $n);")
+  override protected def withNewChildInternal(c: Expression): WordNgramHashes64Expr =
+    copy(child = c)
+  override def prettyName: String = "word_ngram_hashes64"
+}
+
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -101,4 +114,7 @@ object GraftFunctions {
 
   def shingleHashes(text: Column, k: Int = 5): Column =
     Bridge.column(ShingleHashes64Expr(Bridge.expression(text), k))
+
+  def wordNgramHashes(text: Column, n: Int = 3): Column =
+    Bridge.column(WordNgramHashes64Expr(Bridge.expression(text), n))
 }

@@ -560,9 +560,13 @@ object Queries {
     * form is quadratic by design here; the scale path is the MinHash
     * pipeline (q27) whose candidates this measure confirms. */
   def q39NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // hashed n-grams (native codegen expr): equality is all the
+    // intersection join and the integer outputs need, and the interpreted
+    // higher-order string form measured ~10s on 40 docs (FunctionsSpec
+    // proves hash/string jaccard equivalence)
     val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
       .select(col("doc_id"),
-        SimilarityFunctions.wordNgrams(col("text"), 3).as("ngs"))
+        GraftFunctions.wordNgramHashes(col("text"), 3).as("ngs"))
     val sizes = docs.select(col("doc_id"), size(col("ngs")).as("sz"))
     val g = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
     g.as("a").join(g.as("b"),

@@ -160,6 +160,31 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("wordNgramHashes ≡ string wordNgrams (sizes + jaccard) on ASCII") {
+    val df = Seq(
+      ("a", "The  quick\tbrown fox jumps over the lazy dog today"),
+      ("b", "the quick brown fox jumps over a lazy dog today"),
+      ("c", "one two"), // fewer than n tokens
+      ("d", "  padded   whitespace   everywhere   here  ")
+    ).toDF("id", "text")
+      .withColumn("hh", GraftFunctions.wordNgramHashes($"text", 3))
+      .withColumn("ss", SimilarityFunctions.wordNgrams($"text", 3))
+    val rows = df.select($"id", $"hh", $"ss")
+      .as[(String, Seq[Long], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, (hh, ss)) =>
+      assert(hh.distinct.size == hh.size, id)
+      assert(hh.size == ss.size, s"$id: hashed=${hh.size} string=${ss.size}")
+    }
+    assert(rows("c")._1.size == 1)
+    def jac[T](x: Set[T], y: Set[T]) =
+      if ((x ++ y).isEmpty) 0.0 else (x & y).size.toDouble / (x ++ y).size
+    val jh = jac(rows("a")._1.toSet, rows("b")._1.toSet)
+    val js = jac(rows("a")._2.toSet, rows("b")._2.toSet)
+    assert(math.abs(jh - js) < 1e-12, s"hash=$jh str=$js")
+    assert(jh > 0.3 && jh < 1.0)
+  }
+
   test("shingles, minhash, lsh bands, jaccard") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
