@@ -44,9 +44,11 @@ final class StuckEpochException(val epoch: Int, timeoutMs: Long)
   * partitioning the exact-confirm anti-join reuses — and the anti-join
   * only sees the bloom-positive sliver because the bloom probe is a
   * broadcast predicate, not a shuffle; (2) one repartition(host)+sort for
-  * the fused robots+politeness stage (streamed per-host run-length pass —
-  * a Zipf mega-host costs one task's time, never one task's memory);
-  * (3) the partitioned write. Everything else is narrow.
+  * the fused robots+politeness stage, fed by a map-side per-host top-k
+  * prefilter so a Zipf mega-host ships ≤ budget×partitions rows into the
+  * shuffle (and the streamed run-length pass bounds task memory);
+  * (3) the partitioned write. Everything else is narrow. PlanSpec pins
+  * this shape.
   */
 object CrawlLoop {
 
@@ -152,7 +154,7 @@ object CrawlLoop {
     // residual of the state aggregation (every candidate is exactly one
     // of dup/seen-skipped/denied/admitted/deferred).
     val seen = readSeen(spark, cfg.workDir, epoch)
-    val (unseenRaw, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
+    val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
       if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
         val expectedPerBucket = math.max(64L,
@@ -161,7 +163,6 @@ object CrawlLoop {
           expectedPerBucket, cfg.bloomFpp)
         SeenSet.unseenTwoTierBroadcast(deduped, seen, segments)
       } else (SeenSet.unseenExact(deduped, seen), () => ())
-    val unseen = unseenRaw
 
     // 4. fused host stage: robots admission + politeness rank + budget —
     // map-side deny/top-k prefilter, then one repartition(host)+sort pass
@@ -259,7 +260,7 @@ object CrawlLoop {
       count(when(col("status") === Status.Failed, 1)).as("f"),
       count(when(col("status") === Status.Rejected, 1)).as("r"),
       coalesce(sum(col("n_bytes")), lit(0L)).as("b"),
-      countDistinct(col("host")).as("h")).head() // job 3
+      countDistinct(col("host")).as("h")).head() // job 2 (the writes are their own jobs)
     val durationMs = (System.nanoTime() - tEpoch0) / 1000000L
     // A8/A9/A11 derived metrics (BulkCrawlProgress.java:254-329 analogue):
     // rate over this epoch, % of the configured frontier consumed, ETA for
