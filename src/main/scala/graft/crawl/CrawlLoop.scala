@@ -58,6 +58,8 @@ object CrawlLoop {
   def run(spark: SparkSession, cfg: CrawlConfig,
       stopAfter: Int = Int.MaxValue,
       store: PayloadStore = PayloadSink): Seq[EpochMetrics] = {
+    // finish any half-done seen-store consolidation before reading it
+    graft.seen.SeenDeletes.recoverConsolidation(spark, cfg.workDir)
     val resumeFrom = lastCommittedEpoch(spark, cfg.workDir) + 1
     val until = math.min(cfg.epochs.toLong, resumeFrom.toLong + stopAfter.toLong).toInt
     (resumeFrom until until).map(e => runEpochWatched(spark, cfg, e, store))

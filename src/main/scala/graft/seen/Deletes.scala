@@ -106,6 +106,77 @@ object SeenDeletes {
     fsys.delete(cuckooPath(workDir), false)
   }
 
+  // ---- seen-store consolidation (small-files maintenance) ----------------
+  // A long crawl accumulates one seen/epoch=N directory per epoch; at 10^4+
+  // epochs the per-epoch file listing and tiny-file reads dominate readSeen.
+  // Consolidation merges all epochs-so-far into the highest epoch directory
+  // (distinct rows — membership-identical), with a marker-file protocol that
+  // makes a crash at ANY step recoverable:
+  //   1. write the merged store to seen/.consolidate.tmp
+  //   2. atomically create seen/.consolidate.json naming target + sources
+  //   3. delete the source directories
+  //   4. rename .consolidate.tmp → seen/epoch=<target>
+  //   5. delete the marker
+  // Recovery (run at loop start): a marker with the tmp still present redoes
+  // 3-5; a marker whose tmp is gone redoes only the source deletes + 5.
+  // Before the marker exists nothing was deleted; after step 4 the merged
+  // data is live — no crash point loses membership.
+
+  private def consolidateTmp(workDir: String) = new Path(s"$workDir/seen/.consolidate.tmp")
+  private def consolidateMarker(workDir: String) = new Path(s"$workDir/seen/.consolidate.json")
+
+  /** Merge all existing seen/epoch=e (e < uptoEpoch) into the highest such
+    * directory. No-op with <2 directories. Membership-identical (distinct
+    * union); tombstones are untouched (they apply at read). */
+  def consolidate(spark: SparkSession, workDir: String, uptoEpoch: Int): Unit = {
+    val fsys = fs(spark, workDir)
+    val dirs = (0 until uptoEpoch).map(e => (e, s"$workDir/seen/epoch=$e"))
+      .filter { case (_, d) => fsys.exists(new Path(d)) }
+    if (dirs.size < 2) return
+    val target = dirs.map(_._1).max
+    val merged = spark.read.parquet(dirs.map(_._2): _*)
+      .select(col("url_hash"), col("host_bucket")).distinct()
+    merged.write.mode(SaveMode.Overwrite).parquet(consolidateTmp(workDir).toString)
+    writeMarker(fsys, workDir, target, dirs.map(_._2))
+    finishConsolidation(fsys, workDir, target, dirs.map(_._2))
+  }
+
+  /** Crash recovery: finish a half-done consolidation if a marker exists.
+    * Safe to call unconditionally (no-op without a marker). */
+  def recoverConsolidation(spark: SparkSession, workDir: String): Boolean = {
+    val fsys = fs(spark, workDir)
+    val mk = consolidateMarker(workDir)
+    if (!fsys.exists(mk)) return false
+    val in = fsys.open(mk)
+    val len = fsys.getFileStatus(mk).getLen.toInt
+    val buf = new Array[Byte](len); in.readFully(buf); in.close()
+    val body = new String(buf, "UTF-8")
+    val target = "\"target\":(\\d+)".r.findFirstMatchIn(body).get.group(1).toInt
+    val sources = "\"src\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body).get.group(1)
+      .split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    finishConsolidation(fsys, workDir, target, sources)
+    true
+  }
+
+  private def writeMarker(fsys: org.apache.hadoop.fs.FileSystem, workDir: String,
+      target: Int, sources: Seq[String]): Unit = {
+    val tmp = new Path(consolidateMarker(workDir).toString + ".tmp")
+    val out = fsys.create(tmp, true)
+    out.write((s"""{"target":$target,"src":[""" +
+      sources.map(s => "\"" + s + "\"").mkString(",") + "]}").getBytes("UTF-8"))
+    out.close()
+    fsys.rename(tmp, consolidateMarker(workDir))
+  }
+
+  private def finishConsolidation(fsys: org.apache.hadoop.fs.FileSystem,
+      workDir: String, target: Int, sources: Seq[String]): Unit = {
+    sources.foreach(d => fsys.delete(new Path(d), true))
+    val tmp = consolidateTmp(workDir)
+    if (fsys.exists(tmp))
+      fsys.rename(tmp, new Path(s"$workDir/seen/epoch=$target"))
+    fsys.delete(consolidateMarker(workDir), false)
+  }
+
   private def loadCuckoo(spark: SparkSession, workDir: String): Option[CuckooFilter] = {
     val fsys = fs(spark, workDir)
     val p = cuckooPath(workDir)

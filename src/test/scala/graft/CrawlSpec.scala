@@ -303,6 +303,48 @@ class CrawlSpec extends SparkSpec {
     rows.unpersist()
   }
 
+  test("seen-store consolidation: membership-identical, fewer dirs, crash-recoverable") {
+    import graft.seen.SeenDeletes
+    val wd6 = tmpDir()
+    val cf = cfg.copy(workDir = wd6)
+    CrawlLoop.run(spark, cf, stopAfter = 2) // epochs 0,1
+    val before = CrawlLoop.readSeen(spark, wd6, 2)
+      .select("url_hash").as[Long].collect().toSet
+    SeenDeletes.consolidate(spark, wd6, 2)
+    assert(!new java.io.File(s"$wd6/seen/epoch=0").exists, "source dir must be gone")
+    assert(new java.io.File(s"$wd6/seen/epoch=1").exists)
+    assert(!new java.io.File(s"$wd6/seen/.consolidate.json").exists)
+    val after = CrawlLoop.readSeen(spark, wd6, 2)
+      .select("url_hash").as[Long].collect().toSet
+    assert(after == before)
+    // the crawl continues over the consolidated store and still matches
+    CrawlLoop.run(spark, cf) // epoch 2
+    val seenAll = spark.read.parquet(s"$wd6/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seenAll == sim.seen)
+
+    // crash simulation: marker written, one source deleted, tmp not yet
+    // renamed — recovery must finish the swap without losing membership
+    val wd7 = tmpDir()
+    CrawlLoop.run(spark, cfg.copy(workDir = wd7), stopAfter = 2)
+    val expect = spark.read.parquet(s"$wd7/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    spark.read.parquet(s"$wd7/seen/epoch=0", s"$wd7/seen/epoch=1")
+      .select("url_hash", "host_bucket").distinct()
+      .write.parquet(s"$wd7/seen/.consolidate.tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wd7/seen/.consolidate.json"),
+      s"""{"target":1,"src":["$wd7/seen/epoch=0","$wd7/seen/epoch=1"]}""")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$wd7/seen/epoch=0")) // crash mid-delete
+    assert(SeenDeletes.recoverConsolidation(spark, wd7))
+    val recovered = spark.read.parquet(s"$wd7/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(recovered == expect)
+    assert(!new java.io.File(s"$wd7/seen/.consolidate.json").exists)
+    assert(!new java.io.File(s"$wd7/seen/.consolidate.tmp").exists)
+  }
+
   test("ST5 watchdog reaps a stuck epoch: FAILED marker, no commit, clean resume") {
     val wd5 = tmpDir()
     // a store whose payload write hangs, then dies without committing —
