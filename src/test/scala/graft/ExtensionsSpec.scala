@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
+
+/** SQL surface (GraftExtensions): every native expression callable from
+  * `spark.sql(...)` must return exactly what the Column API returns, via
+  * both registration paths (runtime `register(spark)` and the
+  * `spark.sql.extensions` session-build path). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    GraftExtensions.register(spark)
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    d.createOrReplaceTempView("ext_docs")
+    d
+  }
+
+  private lazy val embs = {
+    GraftExtensions.register(spark)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(100)
+    e.createOrReplaceTempView("ext_embs")
+    e
+  }
+
+  test("SQL ≡ Column API: simhash64, rolling_fingerprint, shingle/ngram hashes") {
+    val api = docs.select(col("doc_id"),
+        GraftFunctions.simhash64(col("text")).as("sh"),
+        GraftFunctions.rollingFingerprint(col("text"), 16).as("fp"),
+        GraftFunctions.shingleHashes(col("text"), 5).as("shg"),
+        GraftFunctions.wordNgramHashes(col("text"), 3).as("ng"))
+      .orderBy("doc_id").collect()
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       graft_simhash64(text)               AS sh,
+        |       graft_rolling_fingerprint(text, 16) AS fp,
+        |       graft_shingle_hashes64(text, 5)     AS shg,
+        |       graft_word_ngram_hashes64(text, 3)  AS ng
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(api.length == sql.length && api.length > 0)
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("SQL ≡ Column API: cosine_sim and srp_bucket over real embeddings") {
+    val api = embs.as("a").join(embs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        GraftFunctions.cosineSim($"a.embedding", $"b.embedding").as("cos"))
+      .orderBy($"a.vec_id", $"b.vec_id").limit(50).collect()
+    val sql = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |       graft_cosine_sim(a.embedding, b.embedding) AS cos
+        |FROM ext_embs a JOIN ext_embs b ON a.vec_id < b.vec_id
+        |ORDER BY a.vec_id, b.vec_id LIMIT 50""".stripMargin).collect()
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+
+    val apiB = embs.select(
+        GraftFunctions.srpBucket(col("embedding"), 10, 7L).as("bkt"))
+      .collect().map(_.getLong(0))
+    val sqlB = spark.sql(
+      "SELECT graft_srp_bucket(embedding, 10, 7) AS bkt FROM ext_embs")
+      .collect().map(_.getLong(0))
+    assert(apiB.toSeq == sqlB.toSeq)
+  }
+
+  test("defaulted optional args match the Column API defaults") {
+    val api = docs.select(
+        GraftFunctions.rollingFingerprint(col("text")).as("fp"),
+        GraftFunctions.shingleHashes(col("text")).as("shg"))
+      .collect()
+    val sql = spark.sql(
+      """SELECT graft_rolling_fingerprint(text) AS fp,
+        |       graft_shingle_hashes64(text)    AS shg
+        |FROM ext_docs""".stripMargin).collect()
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("non-literal width argument is rejected at analysis time") {
+    docs // force registration + view
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes64(text, doc_id) FROM ext_docs")
+        .collect()
+    }
+    assert(e.isInstanceOf[AnalysisException] ||
+      e.getMessage.contains("integer literal"))
+  }
+
+  test("session-build injection path (what spark.sql.extensions triggers)") {
+    // `spark.sql.extensions` is a STATIC conf read at SparkContext creation,
+    // so it can't be exercised against the suite's shared context; the
+    // builder's withExtensions hook runs the identical injection code path
+    // (SparkSession.Builder.getOrCreate → applyExtensions → injectFunction).
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val got = s2.sql("SELECT graft_simhash64('alpha beta gamma') AS h")
+        .head().getLong(0)
+      val want = graft.expressions.ExprOps.simhash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta gamma"))
+      assert(got == want)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
