@@ -327,6 +327,47 @@ object OracleSql {
       WHERE n_inter >= 2
       ORDER BY id_a, id_b""",
 
+    "q40_curation_pipeline" -> """
+      WITH feat AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?|#@*]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS toks,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with|for|was)\b')) AS en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|von|mit|für|den)\b')) AS de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|que|une|des)\b')) AS fr
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text,
+               CAST(toks AS BIGINT) AS n_tokens,
+               CASE WHEN text IS NULL THEN 'unknown'
+                    WHEN en = 0 AND de = 0 AND fr = 0 THEN 'unknown'
+                    WHEN en >= de AND en >= fr THEN 'en'
+                    WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+               CAST(floor(((CASE WHEN len = 0 THEN 0.0 ELSE alpha / len * 0.35 END)
+                   + (CASE WHEN len = 0 THEN 0.0
+                           ELSE (1.0 - least(punct * 10.0 / len, 1.0)) * 0.15 END)
+                   + (CASE WHEN toks = 0 THEN 0.0
+                           ELSE least(CAST(en + de + fr AS DOUBLE) * 4.0 / toks, 1.0) * 0.3 END)
+                   + (CASE WHEN len >= 200 AND len <= 20000 THEN 0.2
+                           WHEN len >= 50 THEN 0.1 ELSE 0.0 END)) * 10000.0 + 0.5)
+                 AS BIGINT) AS quality_x1e4
+        FROM feat),
+      deduped AS (
+        SELECT min(doc_id) AS doc_id,
+               min(quality_x1e4) AS quality_x1e4,
+               min(n_tokens) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM scored
+        WHERE pred_lang = 'en' AND quality_x1e4 >= 5000
+        GROUP BY text)
+      SELECT doc_id, quality_x1e4, n_tokens, n_copies
+      FROM deduped
+      WHERE ((doc_id % 5) + 5) % 5 = 0
+      ORDER BY doc_id""",
+
     "q37_metadata_map" -> """
       SELECT doc_id,
              'BGH' AS court,

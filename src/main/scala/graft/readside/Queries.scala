@@ -582,6 +582,39 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q40: the end-to-end training-data CURATION pipeline the LLM-data
+    * operators exist to serve, composed as ONE declarative plan so
+    * Catalyst fuses the stages: language filter (en) → quality floor →
+    * exact near-dup removal (min doc_id per identical text, grouped by
+    * the 192-bit content fingerprint so document bytes never shuffle) →
+    * deterministic 1-in-5 stride over the survivors. Every stage is
+    * DuckDB-expressible, so the whole composition is value-exact against
+    * the oracle — the integration check that the per-stage oracles
+    * (q21/q22/q23/q24/q33) can't give. Scale shape: one scan, one
+    * hash-aggregate shuffle on 48-byte keys, no window, no driver state. */
+  def q40CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        TextFunctions.qualityScoreX1e4(col("text")).as("quality_x1e4"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      .filter(col("pred_lang") === "en" && col("quality_x1e4") >= 5000)
+      .select(col("doc_id"), col("quality_x1e4"), col("n_tokens"),
+        xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
+      .groupBy(col("h1__"), col("h2__"))
+      // identical text ⇒ identical derived columns, so min() IS the value;
+      // min over scalars keeps the agg in codegen HashAggregate (a
+      // min_by/struct variant drops to ObjectHashAggregate — measured
+      // slower on the crawl spine, same trap here)
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("quality_x1e4")).as("quality_x1e4"),
+        min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_copies"))
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("quality_x1e4"), col("n_tokens"),
+        col("n_copies"))
+      .orderBy(col("doc_id"))
+
   /** P9/P10 metadata-table extraction: label/value lines parsed into a
     * `MapType(String,String)` column (the reference's td.TD30-label /
     * td.TD70-value walk, service/HtmlContentExtractionService.java:100-138),
