@@ -121,8 +121,13 @@ object Bench {
     // measured. Crawl portion ≈ 2 reps × (105 s + ~75 s) ≈ 6 min.
     val crawlUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "16000000").toLong
 
-    // 1. read-side queries
+    // 1. read-side queries. The c0x crawl fixture is built untimed first:
+    // its one-time scaffolding crawl is NOT a query cost (the crawl engine
+    // is measured separately below, fresh-JVM at scaled input); without
+    // the warm-up the first c-query to touch the fixture absorbed ~20 s+
+    // of scaffolding into its recorded time.
     val spark = newSession(cpus)
+    graft.readside.CrawlQueries.warmFixture(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

@@ -31,6 +31,13 @@ object CrawlQueries {
     cachedDir
   }
 
+  /** Build the memoized fixture outside a timed region. `graft.Bench`
+    * calls this before its per-query timing loop so c03/c04/... record
+    * the cost of the QUERY (reading/aggregating the crawl tables), not
+    * the one-time scaffolding crawl — which is measured on its own terms
+    * (fresh-JVM, scaled input) as `crawl_urls_per_sec` via CrawlBench. */
+  def warmFixture(spark: SparkSession): Unit = { crawlDir(spark); () }
+
   /** Frontier synthesis + keying: host-bucket histogram (Zipf skew made
     * visible: bucket of host 0 dominates). */
   def c01FrontierSynth(s: SparkSession, dir: String): DataFrame = {

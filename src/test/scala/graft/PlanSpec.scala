@@ -50,6 +50,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("keys=[text"), "grouping by full text ships the corpus")
   }
 
+  test("q40: curation composition fuses into one scan + one codegen hash-agg") {
+    val p = plan(Queries.q40CurationPipeline(spark, dir))
+    assert(p.contains("keys=[h1__"), "dedup must group by the fingerprint")
+    assert(!p.contains("keys=[text"), "grouping by full text ships the corpus")
+    // scalar min() aggregates must stay in codegen HashAggregate — a
+    // min_by/struct variant drops to ObjectHashAggregate (measured slower)
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("ObjectHashAggregate"), "agg fell out of codegen")
+    // the whole pipeline reads documents exactly once
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "composition must not rescan the corpus")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))
