@@ -19,7 +19,7 @@ object CrawlBench {
     val shufflePartitions = if (args.length > 2) args(2).toInt else cores * 2
     val numHosts = if (args.length > 3) args(3).toInt else 4000
     val budget = if (args.length > 4) args(4).toInt else 1500
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-crawl-bench-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -28,7 +28,14 @@ object CrawlBench {
       // dictionary-encoding the columnar cache was a measured hotspot
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle dirs on tmpfs too: disk-backed spark.local.dir capped
+    // local[32] at −40% in round-1 measurements (the sink workDir below
+    // alone doesn't cover shuffle spill/blockmgr files)
+    sys.env.get("SPARK_GRAFT_BENCH_DIR").foreach { base =>
+      Files.createDirectories(java.nio.file.Paths.get(s"$base/local"))
+      builder.config("spark.local.dir", s"$base/local")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wd = sys.env.get("SPARK_GRAFT_BENCH_DIR") match {
       case Some(base) =>
