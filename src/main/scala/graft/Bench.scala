@@ -167,7 +167,8 @@ object Bench {
     val qs = (results
       ++ thr.map { case (c, t) => s"crawl_urls_per_sec_local$c" -> t }
       ++ effs.map { case ((a, b), e) => s"crawl_scaling_efficiency_${a}_$b" -> e }
-      ++ Seq("crawl_scaling_efficiency" -> effs.head._2))
+      // degenerate cpus<=2: a single level has no pair to compare
+      ++ effs.headOption.map("crawl_scaling_efficiency" -> _._2).toSeq)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
