@@ -65,10 +65,13 @@ object SeenDeletes {
     loadCuckoo(spark, workDir) match {
       case None => seen
       case Some(f) =>
-        val bc = spark.sparkContext.broadcast(f.serialize())
-        val maybeDeleted = udf { (h: Long) =>
-          CuckooFilter.deserialize(bc.value).contains(h)
-        }
+        // broadcast the FILTER, not its bytes: the broadcast value is
+        // deserialized once per executor and cached, so the probe is pure
+        // array reads per row (same pattern as the bloom seen-probe; a
+        // bytes broadcast + per-row deserialize rebuilds the whole table
+        // for every row probed)
+        val bc = spark.sparkContext.broadcast(f)
+        val maybeDeleted = udf((h: Long) => bc.value.contains(h))
         val tombs = spark.read.parquet(tombDir(workDir)).select(col("url_hash"))
         val flagged = seen.withColumn("maybe_del__", maybeDeleted(col("url_hash")))
         val kept = flagged.filter(!col("maybe_del__")).drop("maybe_del__")
