@@ -156,14 +156,26 @@ object CrawlLoop {
     // residual of the state aggregation (every candidate is exactly one
     // of dup/seen-skipped/denied/admitted/deferred).
     val seen = readSeen(spark, cfg.workDir, epoch)
+    // fixed plan-size bloom shape: every epoch's segments share it, so the
+    // persisted segment store can be OR-merged incrementally across epochs
+    // (epoch-scaled sizing would change the shape every epoch and force a
+    // full-store rebuild each time)
+    val expectedPerBucket = math.max(64L, cfg.totalUrls / cfg.buckets)
+    // probe segments: load last epoch's persisted set (O(1) tiny read) and
+    // only fall back to a full seen-store rebuild when it is absent
+    // (first bloom epoch after resume-from-older-layout, a preceding
+    // forceUpdate epoch, or a crash replay that already dropped it) —
+    // WITHOUT the persisted store the bloom build rescans the entire seen
+    // set every epoch, a per-epoch cost that grows with crawl age.
+    var probeSegs: Seq[(Int, Array[Byte])] = Nil
     val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
       if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
-        val expectedPerBucket = math.max(64L,
-          (epoch.toLong * cfg.urlsPerEpoch) / cfg.buckets)
-        val segments = SeenSet.bloomSegments(seen, cfg.buckets,
-          expectedPerBucket, cfg.bloomFpp)
-        SeenSet.unseenTwoTierBroadcast(deduped, seen, segments)
+        probeSegs = loadSegments(spark, cfg, epoch - 1, expectedPerBucket)
+          .getOrElse(SeenSet.bloomSegments(seen, cfg.buckets,
+            expectedPerBucket, cfg.bloomFpp).collect().toSeq)
+        SeenSet.unseenTwoTierBroadcast(deduped, seen,
+          spark.createDataset(probeSegs))
       } else (SeenSet.unseenExact(deduped, seen), () => ())
 
     // 4. fused host stage: robots admission + politeness rank + budget —
@@ -234,6 +246,27 @@ object CrawlLoop {
       written.filter(col("status") === Status.Processed)
         .select(col("url_hash"), col("host_bucket").cast("int").as("host_bucket")),
       cfg.workDir, epoch)
+    // incremental bloom maintenance: segments(epoch) = probe segments
+    // (≡ blooms of seen < epoch) ∪ bloom(this epoch's delta) — an O(delta)
+    // scan, never a store rescan. Deleted (tombstoned) keys stay set in
+    // the persisted blooms: that is only a false positive, and positives
+    // are exactly confirmed against the tombstone-merged store. Written
+    // BEFORE the commit marker so a replayed epoch rewrites it
+    // idempotently; the previous epoch's segment dir is then dropped so
+    // the store stays O(1) dirs regardless of crawl age.
+    if (cfg.useBloom && !cfg.forceUpdate) {
+      spark.sparkContext.setJobDescription(s"epoch=$epoch seen-bloom-write")
+      val deltaSegs = SeenSet.bloomSegments(
+        spark.read.parquet(s"${cfg.workDir}/seen/epoch=$epoch"),
+        cfg.buckets, expectedPerBucket, cfg.bloomFpp).collect().toSeq
+      spark.createDataset(SeenSet.mergeSegmentArrays(probeSegs, deltaSegs))
+        .toDF("host_bucket", "bloom")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(bloomDir(cfg.workDir, epoch))
+      val fsB = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsB.delete(new Path(bloomDir(cfg.workDir, epoch - 1)), true)
+    }
     spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
 
     // retry queue = transient/corrupt FAILED rows, eligible next epoch.
@@ -309,6 +342,30 @@ object CrawlLoop {
     out.close()
     if (fs.exists(fin)) fs.delete(fin, false)
     fs.rename(tmp, fin)
+  }
+
+  private[graft] def bloomDir(workDir: String, epoch: Int): String =
+    s"$workDir/seen_blooms/epoch=$epoch"
+
+  /** Load the persisted bloom segments written after `epoch`, validating
+    * the shape against the current config (a changed totalUrls/fpp between
+    * runs changes the bloom shape, making old segments un-mergeable —
+    * return None and let the caller rebuild from the store). */
+  private[graft] def loadSegments(spark: SparkSession, cfg: CrawlConfig,
+      epoch: Int, expectedPerBucket: Long): Option[Seq[(Int, Array[Byte])]] = {
+    import spark.implicits._
+    val dir = bloomDir(cfg.workDir, epoch)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return None
+    val segs = spark.read.parquet(dir)
+      .select(col("host_bucket").cast("int"), col("bloom"))
+      .as[(Int, Array[Byte])].collect().toSeq
+    val want = graft.seen.LongBloom.create(expectedPerBucket, cfg.bloomFpp)
+    val ok = segs.headOption.forall { case (_, bytes) =>
+      val f = graft.seen.LongBloom.deserialize(bytes)
+      f.numBits == want.numBits && f.numHashes == want.numHashes
+    }
+    if (ok) Some(segs) else None
   }
 
   /** Union of all committed seen deltas before `epoch`, with delete

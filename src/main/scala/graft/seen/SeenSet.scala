@@ -60,6 +60,22 @@ object SeenSet {
       }
   }
 
+  /** OR-merge two same-shape segment sets by bucket (driver-side — the
+    * broadcast-scale path where segments are MBs; the cogroup variant in
+    * [[unseenTwoTier]] shows the distributed merge shape for beyond-
+    * broadcast scale). Used by the epoch loop's INCREMENTAL bloom
+    * maintenance: segments(epoch) = segments(epoch-1) ∪ bloom(delta) —
+    * O(delta) per epoch instead of a full seen-store rescan, and since a
+    * bloom is an order-independent OR of bits, the incremental union is
+    * byte-identical to a fresh build over the whole store at the same
+    * shape (CrawlSpec asserts exactly that). */
+  def mergeSegmentArrays(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])])
+      : Seq[(Int, Array[Byte])] =
+    (a ++ b).groupBy(_._1).map { case (bucket, segs) =>
+      bucket -> segs.map(s => LongBloom.deserialize(s._2))
+        .reduce(_ union _).serialize()
+    }.toSeq.sortBy(_._1)
+
   /** Two-tier unseen with a BROADCAST bloom probe: segments are collected
     * (they are tiny relative to the seen set — ~1.2 bytes/key at 1% fpp),
     * broadcast, and probed by a predicate on (host_bucket, url_hash) —

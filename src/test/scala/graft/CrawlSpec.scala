@@ -130,6 +130,39 @@ class CrawlSpec extends SparkSpec {
     assert(twoTier == exact)
   }
 
+  test("incremental bloom store: ≡ full rebuild byte-exact, O(1) dirs, fallback-safe") {
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only the LAST epoch's segment dir survives (older ones dropped)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(CrawlLoop.bloomDir(wd, cfg.epochs - 1))))
+    (0 until cfg.epochs - 1).foreach { e =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(CrawlLoop.bloomDir(wd, e))),
+        s"stale segment dir for epoch $e")
+    }
+    // a bloom is an order-independent OR of bits: the incrementally
+    // maintained segments must equal a fresh build over the whole store
+    // at the same shape, byte for byte
+    val expected = math.max(64L, cfg.totalUrls / cfg.buckets)
+    val persisted = CrawlLoop.loadSegments(spark, cfg.copy(workDir = wd),
+      cfg.epochs - 1, expected).get.toMap
+    val fresh = SeenSet.bloomSegments(
+      spark.read.parquet(s"$wd/seen/epoch=*").select("url_hash", "host_bucket"),
+      cfg.buckets, expected, cfg.bloomFpp).collect().toMap
+    assert(persisted.keySet == fresh.keySet)
+    persisted.foreach { case (b, bytes) =>
+      assert(java.util.Arrays.equals(bytes, fresh(b)), s"bucket $b segments differ")
+    }
+    // dropping the segment store mid-crawl only costs a rebuild — the
+    // final membership is unchanged
+    val c2 = cfg.copy(workDir = tmpDir())
+    CrawlLoop.run(spark, c2, stopAfter = 2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${c2.workDir}/seen_blooms"), true)
+    CrawlLoop.run(spark, c2)
+    val seen2 = spark.read.parquet(s"${c2.workDir}/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seen2 == sim.seen)
+  }
+
   test("resume from checkpoint reproduces the uninterrupted run") {
     // uninterrupted reference state = lazy (wd) above; interrupted run:
     val wd2 = tmpDir()
