@@ -112,15 +112,30 @@ object SeenSet {
       .drop("maybe_seen__").as[KeyedUrl]
     val maybeSeen = flagged.filter(col("maybe_seen__"))
       .drop("maybe_seen__").as[KeyedUrl]
+    // exact confirm WITHOUT shuffling the seen store. A plain
+    // `sliver LEFT ANTI seen` can only broadcast its build (right) side —
+    // the 10^10-key store — so Spark plans it as a shuffle join that
+    // re-shuffles the ENTIRE store every epoch. Inverted form: (1)
+    // `seen LEFT SEMI broadcast(sliver keys)` — the store streams through
+    // one narrow columnar scan, zero exchange, emitting only the keys that
+    // are genuinely seen (≤ sliver); (2) the sliver anti-joins that tiny
+    // hit set, also broadcast. The per-epoch store cost drops from a full
+    // shuffle+sort to one scan. Valid exactly in this path's broadcast
+    // tier (sliver = fp-rate + true-dup fraction of candidates, same
+    // envelope as the bloom broadcast itself); beyond it, [[unseenTwoTier]]
+    // keeps everything distributed.
+    val sliverKeys = maybeSeen.select(col("url_hash"))
+    val hits = seen.select(col("url_hash"))
+      .join(broadcast(sliverKeys), Seq("url_hash"), "left_semi")
     // the confirm branch's output is repartitioned CONTENT-deterministically
     // (fixed partition count + hash of the row key — AQE never re-coalesces
     // an explicit numPartitions): downstream partition-sensitive passes
     // (the politeness prefilter) may evaluate this subtree more than once,
-    // and at scale the confirm anti-join is a shuffled join whose output
-    // partitioning AQE could otherwise re-plan per evaluation. The sliver
-    // is small (fp-rate + true-dup fraction), so the pin costs little.
+    // and the join output partitioning could otherwise be re-planned per
+    // evaluation. The sliver is small, so the pin costs little.
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val confirmed = unseenExact(maybeSeen, seen).toDF()
+    val confirmed = maybeSeen
+      .join(broadcast(hits), Seq("url_hash"), "left_anti")
       .repartition(parts, col("url_hash")).as[KeyedUrl]
     val out = definitelyNew.unionByName(confirmed)
     // unpersist, NOT destroy: the cached downstream dataset still carries

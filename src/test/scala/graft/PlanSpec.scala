@@ -69,6 +69,28 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p5).size == 2)
   }
 
+  test("two-tier confirm: the seen store is scanned, never shuffled (inverted broadcast confirm)") {
+    import org.apache.spark.sql.functions._
+    import graft.crawl._
+    val keyed = FrontierSynth.key(FrontierSynth.frontier(spark, 20000, 40, 42L, 0), 8)
+    val seen = keyed.filter(col("url_hash") % 7 === 0)
+      .select(col("url_hash"), col("host_bucket")).toDF()
+    val segs = graft.seen.SeenSet.bloomSegments(seen, 8, 4096, 0.01)
+    val (unseen, cleanup) = graft.seen.SeenSet.unseenTwoTierBroadcast(keyed, seen, segs)
+    unseen.write.format("noop").mode("overwrite").save()
+    val p = unseen.queryExecution.executedPlan.toString
+    cleanup()
+    // the only hash exchange allowed is the content-deterministic pin on
+    // the confirmed sliver — the store itself must reach the semi-join as
+    // a bare scan (a plain sliver-anti-seen would re-shuffle the whole
+    // store every epoch)
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("url_hash")), s"store shuffled on: $keys")
+    assert(!p.contains("SortMergeJoin"), "store-side SMJ crept back in")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
   test("epoch spine shuffle budget: url_hash dedup + host repartition only; seen-confirm broadcast; map-side window pruning") {
     import org.apache.spark.sql.functions._
     import graft.crawl._
