@@ -24,7 +24,11 @@ case class CrawlConfig(
     /** ST5 watchdog: an epoch running longer than this is cancelled and
       * marked FAILED (reference: 6 h stuck-operation timeout,
       * service/BulkCrawlerService.java:302-318). Default: disabled. */
-    stuckTimeoutMs: Long = Long.MaxValue) {
+    stuckTimeoutMs: Long = Long.MaxValue,
+    /** Auto-consolidate the seen store every N epochs (crash-safe
+      * membership-identical merge of the per-epoch dirs — keeps readSeen
+      * O(1) dirs on long crawls). 0 disables. */
+    consolidateEvery: Int = 64) {
   def urlsPerEpoch: Long = totalUrls / epochs
 }
 
@@ -62,7 +66,17 @@ object CrawlLoop {
     graft.seen.SeenDeletes.recoverConsolidation(spark, cfg.workDir)
     val resumeFrom = lastCommittedEpoch(spark, cfg.workDir) + 1
     val until = math.min(cfg.epochs.toLong, resumeFrom.toLong + stopAfter.toLong).toInt
-    (resumeFrom until until).map(e => runEpochWatched(spark, cfg, e, store))
+    (resumeFrom until until).map { e =>
+      val m = runEpochWatched(spark, cfg, e, store)
+      // automatic small-files maintenance: without it a 10^4-epoch crawl
+      // accumulates one seen dir per epoch and readSeen's listing + tiny-
+      // file reads grow with crawl age. Runs AFTER the epoch's commit
+      // (membership-identical merge, crash-recoverable marker protocol —
+      // a kill mid-consolidation is finished by the recovery call above).
+      if (cfg.consolidateEvery > 0 && (e + 1) % cfg.consolidateEvery == 0)
+        graft.seen.SeenDeletes.consolidate(spark, cfg.workDir, e + 1)
+      m
+    }
   }
 
   /** ST5 stuck-operation watchdog (driver-side): run the epoch under a

@@ -163,6 +163,19 @@ class CrawlSpec extends SparkSpec {
     assert(seen2 == sim.seen)
   }
 
+  test("auto-consolidation cadence keeps the seen store at O(1) dirs; membership unchanged") {
+    val c = cfg.copy(workDir = tmpDir(), consolidateEvery = 2)
+    CrawlLoop.run(spark, c)
+    val fs = new org.apache.hadoop.fs.Path(c.workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = (0 until c.epochs).count(e =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"${c.workDir}/seen/epoch=$e")))
+    assert(dirs < c.epochs, s"expected a merged store, still $dirs per-epoch dirs")
+    val seenC = spark.read.parquet(s"${c.workDir}/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seenC == sim.seen)
+  }
+
   test("resume from checkpoint reproduces the uninterrupted run") {
     // uninterrupted reference state = lazy (wd) above; interrupted run:
     val wd2 = tmpDir()
