@@ -361,25 +361,31 @@ object CrawlLoop {
   private[graft] def bloomDir(workDir: String, epoch: Int): String =
     s"$workDir/seen_blooms/epoch=$epoch"
 
-  /** Load the persisted bloom segments written after `epoch`, validating
-    * the shape against the current config (a changed totalUrls/fpp between
-    * runs changes the bloom shape, making old segments un-mergeable —
-    * return None and let the caller rebuild from the store). */
+  /** Load the persisted bloom segments written after `epoch`. Returns None
+    * — and the caller rebuilds from the store — unless the dir is a fully
+    * COMMITTED write (`_SUCCESS` present; a watchdog-cancelled or crashed
+    * epoch can leave a partial dir, and a silently-missing bucket would
+    * read as "no seen keys here" = a bloom false NEGATIVE, breaking
+    * byte-exact membership) with the shape the current config implies (a
+    * changed totalUrls/fpp between runs makes old segments un-mergeable).
+    * Any read failure likewise falls back rather than wedging resume. */
   private[graft] def loadSegments(spark: SparkSession, cfg: CrawlConfig,
       epoch: Int, expectedPerBucket: Long): Option[Seq[(Int, Array[Byte])]] = {
     import spark.implicits._
     val dir = bloomDir(cfg.workDir, epoch)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir))) return None
-    val segs = spark.read.parquet(dir)
-      .select(col("host_bucket").cast("int"), col("bloom"))
-      .as[(Int, Array[Byte])].collect().toSeq
-    val want = graft.seen.LongBloom.create(expectedPerBucket, cfg.bloomFpp)
-    val ok = segs.headOption.forall { case (_, bytes) =>
-      val f = graft.seen.LongBloom.deserialize(bytes)
-      f.numBits == want.numBits && f.numHashes == want.numHashes
-    }
-    if (ok) Some(segs) else None
+    if (!fs.exists(new Path(s"$dir/_SUCCESS"))) return None
+    scala.util.Try {
+      val segs = spark.read.parquet(dir)
+        .select(col("host_bucket").cast("int"), col("bloom"))
+        .as[(Int, Array[Byte])].collect().toSeq
+      val want = graft.seen.LongBloom.create(expectedPerBucket, cfg.bloomFpp)
+      val ok = segs.headOption.forall { case (_, bytes) =>
+        val f = graft.seen.LongBloom.deserialize(bytes)
+        f.numBits == want.numBits && f.numHashes == want.numHashes
+      }
+      if (ok) Some(segs) else None
+    }.getOrElse(None)
   }
 
   /** Union of all committed seen deltas before `epoch`, with delete

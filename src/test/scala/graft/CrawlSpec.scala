@@ -161,6 +161,19 @@ class CrawlSpec extends SparkSpec {
     val seen2 = spark.read.parquet(s"${c2.workDir}/seen/epoch=*")
       .select("url_hash").as[Long].collect().toSet
     assert(seen2 == sim.seen)
+    // a PARTIAL store (crashed/cancelled write: files but no _SUCCESS)
+    // must be treated as absent — a silently-missing bucket would be a
+    // bloom false negative and break byte-exact membership
+    val c3 = cfg.copy(workDir = tmpDir())
+    CrawlLoop.run(spark, c3, stopAfter = 2)
+    val partial = new org.apache.hadoop.fs.Path(CrawlLoop.bloomDir(c3.workDir, 1))
+    fs.delete(new org.apache.hadoop.fs.Path(partial, "_SUCCESS"), false)
+    assert(CrawlLoop.loadSegments(spark, c3.copy(workDir = c3.workDir), 1,
+      expected).isEmpty, "uncommitted segment dir must load as None")
+    CrawlLoop.run(spark, c3)
+    val seen3 = spark.read.parquet(s"${c3.workDir}/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seen3 == sim.seen)
   }
 
   test("auto-consolidation cadence keeps the seen store at O(1) dirs; membership unchanged") {
