@@ -67,7 +67,8 @@ object SparkEntry {
     "c08_latest_docs" -> (CrawlQueries.c08LatestDocs _),
     "c09_reject_reasons" -> (CrawlQueries.c09RejectReasons _),
     "c10_discovery" -> (CrawlQueries.c10Discovery _),
-    "c11_image_features" -> (CrawlQueries.c11ImageFeatures _)
+    "c11_image_features" -> (CrawlQueries.c11ImageFeatures _),
+    "c12_bloom_store" -> (CrawlQueries.c12BloomStore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

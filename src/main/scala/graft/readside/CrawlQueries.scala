@@ -145,6 +145,32 @@ object CrawlQueries {
       .orderBy(col("fmt"), col("ok"))
   }
 
+  /** Bloom-store introspection (the S9 storage-stats analogue for the
+    * seen-set index): per-bucket segment shape, set-bit saturation, and
+    * the standard bloom capacity estimate n̂ = -(m/k)·ln(1 − X/m) joined
+    * against the exact per-bucket distinct count — the saturation number
+    * an operator watches at scale to decide when segments need resizing
+    * (fpp only degrades, membership stays exact via the confirm join). */
+  def c12BloomStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wd = crawlDir(s)
+    val segs = s.read.parquet(s"$wd/seen_blooms/epoch=${cfgBase.epochs - 1}")
+      .select(col("host_bucket").cast("int"), col("bloom"))
+      .as[(Int, Array[Byte])]
+    val exact = s.read.parquet(s"$wd/seen/epoch=*")
+      .groupBy(col("host_bucket").cast("int").as("host_bucket"))
+      .agg(countDistinct(col("url_hash")).as("n_exact"))
+    segs.map { case (b, bytes) =>
+      val f = graft.seen.LongBloom.deserialize(bytes)
+      val x = f.words.map(w => java.lang.Long.bitCount(w).toLong).sum
+      val m = f.numBits.toDouble
+      val est = math.round(-(m / f.numHashes) * math.log1p(-(x / m)))
+      (b, f.numBits, f.numHashes, x, est)
+    }.toDF("host_bucket", "num_bits", "num_hashes", "bits_set", "n_estimated")
+      .join(exact, Seq("host_bucket"), "left")
+      .orderBy(col("host_bucket"))
+  }
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */

@@ -176,6 +176,17 @@ class CrawlSpec extends SparkSpec {
     assert(seen3 == sim.seen)
   }
 
+  test("c12 bloom-store introspection: capacity estimate tracks exact counts") {
+    val rows = graft.readside.CrawlQueries.c12BloomStore(spark, "")
+      .select(col("n_estimated"), coalesce(col("n_exact"), lit(0L)))
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) <= math.max(5L, (exact * 0.1).toLong),
+        s"bloom estimate $est far from exact $exact")
+    }
+  }
+
   test("auto-consolidation cadence keeps the seen store at O(1) dirs; membership unchanged") {
     val c = cfg.copy(workDir = tmpDir(), consolidateEvery = 2)
     CrawlLoop.run(spark, c)
