@@ -176,6 +176,41 @@ class CrawlSpec extends SparkSpec {
     assert(seen3 == sim.seen)
   }
 
+  test("schedule ≡ plain window ranking on randomized frontiers (property)") {
+    import java.sql.Timestamp
+    val rules = Robots.syntheticRules(30, 42L)
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 3).foreach { trial =>
+      val budget = 1 + rnd.nextInt(12)
+      val rows = (0 until 2500).map { i =>
+        val h = rnd.nextInt(30)
+        // skewed: host 0 owns ~half the frontier; random paths hit the
+        // /private deny prefix sometimes; unique (seq) keys per row
+        val host = f"h${if (rnd.nextBoolean()) 0 else h}%04d.courts.example"
+        val path = if (rnd.nextInt(5) == 0) s"/private/$i" else s"/docs/$i"
+        KeyedUrl(s"u$trial-$i", rnd.nextLong(), s"KARE$i", "BAG", host, h % 8,
+          path, rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(3),
+          new Timestamp(86400000L * (i % 100)))
+      }
+      val ds = spark.createDataset(rows).repartition(7)
+      val got = Politeness.schedule(ds, rules, budget)
+        .collect().map(t => (t._1.url_canon, t._2, t._3)).toSet
+      // reference: robots filter + rank per host by the order key
+      val expected = rows.groupBy(_.host).toSeq.flatMap { case (host, hs) =>
+        val (allowed, denied) = hs.partition(k =>
+          Robots.allows(rules.get(host), k.path))
+        val ranked = allowed.sortBy(k => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+        denied.map(k => (k.url_canon, Politeness.Sched.Denied, 0)) ++
+          ranked.zipWithIndex.map { case (k, idx) =>
+            if (idx < budget) (k.url_canon, Politeness.Sched.Admitted, idx + 1)
+            else (k.url_canon, Politeness.Sched.Deferred, 0)
+          }
+      }.toSet
+      assert(got == expected, s"trial $trial (budget=$budget): " +
+        s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
+    }
+  }
+
   test("c12 bloom-store introspection: capacity estimate tracks exact counts") {
     val rows = graft.readside.CrawlQueries.c12BloomStore(spark, "")
       .select(col("n_estimated"), coalesce(col("n_exact"), lit(0L)))
