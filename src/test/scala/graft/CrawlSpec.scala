@@ -211,6 +211,38 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("two-tier broadcast ≡ exact and tombstone merge ≡ plain anti-join on random splits (property)") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(99L)
+    def mk(i: Int): KeyedUrl =
+      KeyedUrl(s"p$i", rnd.nextLong(), s"KARE$i", "BAG", f"h$i%04d", i % 8,
+        s"/d/$i", 0L, i.toLong, 0, new Timestamp(0L))
+    // splits: empty seen, full overlap, random fraction
+    Seq(0.0, 1.0, 0.4).foreach { frac =>
+      val all = (0 until 1500).map(mk)
+      val keyed = spark.createDataset(all).repartition(5)
+      val seenRows = all.filter(_ => rnd.nextDouble() < frac)
+      val seen = spark.createDataset(seenRows)
+        .select($"url_hash", $"host_bucket").toDF()
+      val exact = all.map(_.url_hash).toSet -- seenRows.map(_.url_hash).toSet
+      val segs = SeenSet.bloomSegments(seen, 8, 256, 0.01)
+      val (tt, cleanup) = SeenSet.unseenTwoTierBroadcast(keyed, seen, segs)
+      val got = tt.select("url_hash").as[Long].collect().toSet
+      cleanup()
+      assert(got == exact, s"frac=$frac: |got|=${got.size} |exact|=${exact.size}")
+      // tombstone merge on a random victim subset of the seen rows
+      val wdT = tmpDir()
+      val victims = seenRows.filter(_ => rnd.nextBoolean()).map(_.url_hash)
+      if (victims.nonEmpty) {
+        graft.seen.SeenDeletes.delete(spark, wdT, victims.toDF("url_hash"))
+        val merged = graft.seen.SeenDeletes.applyTombstones(spark, wdT, seen)
+          .select("url_hash").as[Long].collect().toSet
+        assert(merged == seenRows.map(_.url_hash).toSet -- victims.toSet,
+          s"frac=$frac: tombstone merge diverged from plain anti-join")
+      }
+    }
+  }
+
   test("c12 bloom-store introspection: capacity estimate tracks exact counts") {
     val rows = graft.readside.CrawlQueries.c12BloomStore(spark, "")
       .select(col("n_estimated"), coalesce(col("n_exact"), lit(0L)))
