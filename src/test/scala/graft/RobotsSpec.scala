@@ -24,6 +24,26 @@ class RobotsSpec extends AnyFunSuite {
     assert(!other.allowAll)
   }
 
+  test("Crawl-delay: parsed per group, applicable group's delay surfaces") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(parse(body).crawlDelaySec == Some(3)) // ceil(2.5)
+    assert(parse(body, "otherbot").crawlDelaySec == Some(10))
+    assert(parse("User-agent: *\nDisallow: /d").crawlDelaySec.isEmpty)
+    // garbage / non-positive values ignored
+    assert(parse("User-agent: *\nCrawl-delay: nope").crawlDelaySec.isEmpty)
+    assert(parse("User-agent: *\nCrawl-delay: -4").crawlDelaySec.isEmpty)
+    // a full-deny group still carries its delay
+    assert(parse("User-agent: *\nCrawl-delay: 7\nDisallow: /")
+      .crawlDelaySec == Some(7))
+  }
+
   test("Disallow: / denies everything; empty Disallow allows everything") {
     assert(!parse("User-agent: *\nDisallow: /").allowAll)
     val open = parse("User-agent: *\nDisallow:")
