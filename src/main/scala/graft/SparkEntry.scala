@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_ivf_ann" -> (Queries.q38IvfAnn _),
     "q39_ngram_jaccard" -> (Queries.q39NgramJaccard _),
     "q40_curation_pipeline" -> (Queries.q40CurationPipeline _),
+    "q41_dedup_clusters" -> (Queries.q41DedupClusters _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -399,6 +399,33 @@ object OracleSql {
       WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    // connected components as a recursive transitive closure: reach(a,b)
+    // enumerates every node reachable from a over the symmetric near-dup
+    // edge set (UNION dedups rows, so the recursion terminates);
+    // rep = min reachable id — exactly the fixpoint the Spark-side
+    // min-label propagation converges to
+    "q41_dedup_clusters" -> """
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
+      ), edges AS (
+        SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+      ), reach(a, b) AS (
+        SELECT id_a, id_a FROM edges
+        UNION
+        SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a
+      ), labels AS (
+        SELECT a AS vec_id, min(b) AS cluster_rep FROM reach GROUP BY a
+      )
+      SELECT l.vec_id, l.cluster_rep, s.cluster_size
+      FROM labels l
+      JOIN (SELECT cluster_rep, count(*) AS cluster_size
+            FROM labels GROUP BY cluster_rep) s USING (cluster_rep)
+      ORDER BY l.vec_id"""
   )
 }

@@ -676,4 +676,65 @@ object Queries {
         count(lit(1)).as("n_keys"), sum(col("found")).as("n_found"))
       .orderBy(col("host_bucket"))
   }
+
+  /** Near-dup CLUSTERING: connected components over the embedding-cosine
+    * pair graph (q29's edges) by iterative min-label propagation to a
+    * fixpoint — the step that turns pair LISTS into dedup DECISIONS
+    * (canonical representative = min vec_id per component; everything
+    * else in the component is a near-duplicate of it).
+    *
+    * Scale shape: each round is one broadcast-able join + one hash-agg
+    * min; rounds = component diameter, which for near-dup graphs is tiny
+    * (near-dups of a doc are near-dups of each other). The fixpoint
+    * check is a count of changed labels per round; for adversarial
+    * diameters swap in alternating large-star/small-star (same relational
+    * building blocks, O(log n) rounds — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Every round's
+    * result is cache-materialized so lineage stays one round deep. */
+  def q41DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the pair list ONCE and cut its lineage: edges references
+    // pairs twice (forward + swapped) and every propagation round
+    // references edges again — without the checkpoint each round's plan
+    // embeds several copies of the O(n²) pair-scan subtree (measured: OOM
+    // at sf0.1 from concurrent broadcast/sort copies). The pair list is
+    // the dedup signal, tiny relative to the corpus; at cluster scale the
+    // same cut is "write the pair table, read it back".
+    val pairs = q29CosineNearDup(s, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    // each round MUST cut lineage (localCheckpoint), not merely cache:
+    // `labels` appears three times in a round's plan (propagation union,
+    // join, convergence check), so without the cut the analyzed logical
+    // plan TREBLES per round — exponential plan growth that OOMs the
+    // driver long before the data (bytes) matters. Caching does not help:
+    // Spark still carries and re-analyzes the full logical tree.
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), Seq("id_b"))
+        .select(col("id_a").as("id"), col("nrep").as("rep"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("rep").as("old")), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels
+      .join(sizes, Seq("rep"))
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+    val rows = out.collect()
+    edges.unpersist(); labels.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }
