@@ -718,6 +718,11 @@ object Queries {
       val viaEdges = edges
         .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), Seq("id_b"))
         .select(col("id_a").as("id"), col("nrep").as("rep"))
+      // (a pointer-jumping variant — also adopt the rep OF the rep, for
+      // O(log D) rounds — measured NEUTRAL here: near-dup components have
+      // tiny diameters, so the extra join per round buys nothing; kept
+      // out per the negative-results record. It, or large-star/small-star,
+      // is the swap-in if component diameters ever grow adversarial.)
       val next = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
