@@ -243,6 +243,24 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("determinism across shuffle-partition counts: membership AND traces unchanged at partitions=5") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val c = cfg.copy(workDir = tmpDir())
+      CrawlLoop.run(spark, c)
+      val seen5 = spark.read.parquet(s"${c.workDir}/seen/epoch=*")
+        .select("url_hash").as[Long].collect().toSet
+      assert(seen5 == sim.seen, "seen membership depends on partition count")
+      val traces5 = spark.read.parquet(s"${c.workDir}/payload")
+        .select($"crawl_epoch", $"host", $"slot", $"url_hash")
+        .as[(Int, String, Int, Long)].collect()
+        .groupBy(t => (t._1, t._2))
+        .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toVector }
+      assert(traces5 == sim.traces, "crawl-order traces depend on partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("crawl-delay budget clamp: opt-in epoch window limits a delayed host only") {
     import java.sql.Timestamp
     val slow = "h0000.courts.example"
