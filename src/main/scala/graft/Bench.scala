@@ -111,6 +111,50 @@ object Bench {
     totalUrls / sec
   }
 
+  /** Contention markers (BASELINE.md protocol): a register-only spin scales
+    * with cores no matter what co-tenants do to the memory bus, while a
+    * memory-streaming loop collapses when the bus is saturated from outside
+    * the VM. Recording both ratios next to the crawl numbers makes a
+    * degraded-window bench machine-detectable: spin_ratio ≈ threads while
+    * membw_ratio ≪ spin_ratio ⇒ the box, not the plan, is the bottleneck. */
+  private def spinIters(threads: Int, ms: Long): Double = {
+    val counts = new Array[Long](threads)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i; var n = 0L
+        while (!stop.get()) {
+          var j = 0
+          while (j < 4096) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+          n += 4096
+        }
+        counts(i) = if (x == 42) -1 else n // keep x live
+      }); t.start(); t
+    }
+    Thread.sleep(ms); stop.set(true); ts.foreach(_.join())
+    counts.sum / (ms / 1000.0)
+  }
+
+  private def memStream(threads: Int, ms: Long): Double = {
+    val words = 8 * 1024 * 1024 // 64 MB/thread — far beyond LLC
+    val sums = new Array[Long](threads)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val a = Array.tabulate(words)(k => k.toLong + i)
+        var passes = 0L; var s = 0L
+        while (!stop.get()) {
+          var j = 0
+          while (j < words) { s += a(j); j += 1 }
+          passes += 1
+        }
+        sums(i) = if (s == 42) -1 else passes * words.toLong
+      }); t.start(); t
+    }
+    Thread.sleep(ms); stop.set(true); ts.foreach(_.join())
+    sums.sum * 8.0 / (ms / 1000.0) // bytes/s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -141,34 +185,49 @@ object Bench {
 
     // 2. crawl scaling: three parallelism levels (cpus/16, cpus/4, cpus —
     // i.e. 2/8/32 at the default), fresh JVM each, identical input, and
-    // the N→4N efficiency of every adjacent pair. The HEADLINE
-    // crawl_scaling_efficiency is the SMALLEST pair (2→8): adding cores
-    // while the shared memory bus still has headroom is the closest
-    // single-box analogue of adding executors to a cluster (where
-    // bandwidth multiplies with nodes); the top pair (8→32) saturates
-    // this box's one memory bus and measures the box, not the plan —
-    // BASELINE.md quantifies both. Both pair efficiencies are in the
-    // JSON under explicit _N_4N keys so nothing is hidden.
+    // the N→4N efficiency of every adjacent pair under explicit _N_4N
+    // keys. The HEADLINE crawl_scaling_efficiency is the MINIMUM of the
+    // pair efficiencies — the conservative reading (no pair selection
+    // can flatter it); BASELINE.md analyzes why the top pair saturates
+    // this box's single memory bus while a real N→4N cluster multiplies
+    // bandwidth with nodes.
     // Best-of-REPS per level: this VM shows up to 60% wall-time noise
     // from background contention (measured on identical binaries/input),
     // and a one-sample ratio of two noisy numbers is meaningless — the
     // best of repeated fresh-JVM runs is the stable capability estimate.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def bestOf(cores: Int): Double = {
-      val runs = (1 to reps).flatMap(_ => forkCrawl(cores, crawlUrls))
-      if (runs.nonEmpty) runs.max else inProcessCrawl(cores, crawlUrls)
-    }
+    // EVERY sample is also emitted (_rK keys) so a consumer can judge the
+    // spread itself.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val levels = Seq(math.max(2, cpus / 16), math.max(2, cpus / 4), cpus).distinct
-    val thr = levels.map(c => c -> bestOf(c))
+    val samples: Map[Int, Seq[Double]] = levels.map { c =>
+      val runs = (1 to reps).flatMap(_ => forkCrawl(c, crawlUrls))
+      c -> (if (runs.nonEmpty) runs else Seq(inProcessCrawl(c, crawlUrls)))
+    }.toMap
+    val thr = levels.map(c => c -> samples(c).max)
     val effs = levels.sliding(2).collect { case Seq(a, b) =>
       (a, b) -> (thr.toMap.apply(b) / ((b.toDouble / a) * thr.toMap.apply(a)))
     }.toVector
 
+    // contention markers, measured right after the crawl levels so they
+    // describe (approximately) the same host window
+    val spinThreads = math.min(8, math.max(2, cpus / 4))
+    val spin1 = spinIters(1, 300); val spinN = spinIters(spinThreads, 300)
+    val mem1 = memStream(1, 300); val memN = memStream(spinThreads, 300)
+
     val qs = (results
       ++ thr.map { case (c, t) => s"crawl_urls_per_sec_local$c" -> t }
+      ++ samples.toSeq.flatMap { case (c, ss) =>
+           ss.zipWithIndex.map { case (v, i) =>
+             s"crawl_urls_per_sec_local${c}_r${i + 1}" -> v } }
       ++ effs.map { case ((a, b), e) => s"crawl_scaling_efficiency_${a}_$b" -> e }
       // degenerate cpus<=2: a single level has no pair to compare
-      ++ effs.headOption.map("crawl_scaling_efficiency" -> _._2).toSeq)
+      ++ (if (effs.nonEmpty)
+            Seq("crawl_scaling_efficiency" -> effs.map(_._2).min) else Nil)
+      ++ Seq(
+           "spin_giters_1t" -> spin1 / 1e9,
+           s"spin_ratio_${spinThreads}t" -> (if (spin1 > 0) spinN / spin1 else 0.0),
+           "membw_gbps_1t" -> mem1 / 1e9,
+           s"membw_ratio_${spinThreads}t" -> (if (mem1 > 0) memN / mem1 else 0.0)))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -28,7 +28,20 @@ case class CrawlConfig(
     /** Auto-consolidate the seen store every N epochs (crash-safe
       * membership-identical merge of the per-epoch dirs — keeps readSeen
       * O(1) dirs on long crawls). 0 disables. */
-    consolidateEvery: Int = 64) {
+    consolidateEvery: Int = 64,
+    /** Maintain the incremental latest-row-wins view ([[LatestView]]) as
+      * part of each epoch, so upsert readers scan instead of windowing the
+      * whole store (reference in-place-update semantics,
+      * service/CrawlerOrchestrationService.java:120-137). */
+    maintainLatest: Boolean = true,
+    /** Steady-state guard for the broadcast confirm: when the PREVIOUS
+      * epoch skipped more than this fraction of its candidates as already
+      * seen, the maybe-seen sliver is no longer "small" (it approaches the
+      * full candidate set on recrawl-heavy frontiers) and broadcasting it
+      * would hit the driver/broadcast ceiling — fall back to the fully
+      * distributed cogrouped confirm for the next epoch. Uses the prior
+      * epoch's state counts: zero extra jobs. */
+    maxSeenFracForBroadcast: Double = 0.5) {
   def urlsPerEpoch: Long = totalUrls / epochs
 }
 
@@ -62,21 +75,50 @@ object CrawlLoop {
   def run(spark: SparkSession, cfg: CrawlConfig,
       stopAfter: Int = Int.MaxValue,
       store: PayloadStore = PayloadSink): Seq[EpochMetrics] = {
-    // finish any half-done seen-store consolidation before reading it
+    // finish any half-done seen-store consolidation / latest-view swap
+    // before reading either
     graft.seen.SeenDeletes.recoverConsolidation(spark, cfg.workDir)
+    LatestView.recover(spark, cfg.workDir)
     val resumeFrom = lastCommittedEpoch(spark, cfg.workDir) + 1
     val until = math.min(cfg.epochs.toLong, resumeFrom.toLong + stopAfter.toLong).toInt
-    (resumeFrom until until).map { e =>
-      val m = runEpochWatched(spark, cfg, e, store)
-      // automatic small-files maintenance: without it a 10^4-epoch crawl
-      // accumulates one seen dir per epoch and readSeen's listing + tiny-
-      // file reads grow with crawl age. Runs AFTER the epoch's commit
-      // (membership-identical merge, crash-recoverable marker protocol —
-      // a kill mid-consolidation is finished by the recovery call above).
-      if (cfg.consolidateEvery > 0 && (e + 1) % cfg.consolidateEvery == 0)
-        graft.seen.SeenDeletes.consolidate(spark, cfg.workDir, e + 1)
-      m
+    var prior: Option[EpochMetrics] = None
+    val out = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
+    var e = resumeFrom
+    var halted = false
+    while (e < until && !halted) {
+      // cooperative pause/cancel, polled between epochs — the reference
+      // polls its flags between dates (BulkCrawlerService.java:435-464);
+      // both leave every committed epoch in place, so a later run resumes
+      // from the checkpoint and reproduces the uninterrupted crawl.
+      CrawlControl.poll(spark, cfg.workDir) match {
+        case CrawlControl.Cancelled =>
+          CrawlControl.writeCancelledMarker(spark, cfg.workDir, e)
+          halted = true
+        case CrawlControl.Paused =>
+          halted = true // no marker: pause is silent, resume just continues
+        case CrawlControl.Running =>
+          // steady-state dup fraction from the previous epoch's state
+          // counts — drives the broadcast-vs-distributed confirm choice
+          // with no extra job
+          val priorSeenFrac = prior
+            .filter(_.n_candidates > 0)
+            .map(p => p.n_seen_skipped.toDouble / p.n_candidates)
+            .getOrElse(0.0)
+          val m = runEpochWatched(spark, cfg, e, store, priorSeenFrac)
+          prior = Some(m)
+          out += m
+          // automatic small-files maintenance: without it a 10^4-epoch
+          // crawl accumulates one seen dir per epoch and readSeen's
+          // listing + tiny-file reads grow with crawl age. Runs AFTER the
+          // epoch's commit (membership-identical merge, crash-recoverable
+          // marker protocol — a kill mid-consolidation is finished by the
+          // recovery call above).
+          if (cfg.consolidateEvery > 0 && (e + 1) % cfg.consolidateEvery == 0)
+            graft.seen.SeenDeletes.consolidate(spark, cfg.workDir, e + 1)
+          e += 1
+      }
     }
+    out.toSeq
   }
 
   /** ST5 stuck-operation watchdog (driver-side): run the epoch under a
@@ -84,15 +126,16 @@ object CrawlLoop {
     * write a FAILED marker (no commit marker — resume replays the epoch
     * idempotently) and raise. */
   def runEpochWatched(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
-      store: PayloadStore = PayloadSink): EpochMetrics = {
-    if (cfg.stuckTimeoutMs == Long.MaxValue) return runEpoch(spark, cfg, epoch, store)
+      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0): EpochMetrics = {
+    if (cfg.stuckTimeoutMs == Long.MaxValue)
+      return runEpoch(spark, cfg, epoch, store, priorSeenFrac)
     val group = s"graft-epoch-$epoch"
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val fut = Future {
       spark.sparkContext.setJobGroup(group, s"epoch $epoch", interruptOnCancel = true)
-      try runEpoch(spark, cfg, epoch, store)
+      try runEpoch(spark, cfg, epoch, store, priorSeenFrac)
       finally spark.sparkContext.clearJobGroup()
     }
     try Await.result(fut, cfg.stuckTimeoutMs.millis)
@@ -121,7 +164,7 @@ object CrawlLoop {
   }
 
   def runEpoch(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
-      store: PayloadStore = PayloadSink): EpochMetrics = {
+      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0): EpochMetrics = {
     import spark.implicits._
     val tEpoch0 = System.nanoTime()
 
@@ -188,15 +231,25 @@ object CrawlLoop {
         probeSegs = loadSegments(spark, cfg, epoch - 1, expectedPerBucket)
           .getOrElse(SeenSet.bloomSegments(seen, cfg.buckets,
             expectedPerBucket, cfg.bloomFpp).collect().toSeq)
-        SeenSet.unseenTwoTierBroadcast(deduped, seen,
-          spark.createDataset(probeSegs))
+        // broadcast confirm only while the maybe-seen sliver is provably
+        // small: its size tracks the TRUE-duplicate fraction of candidates
+        // (not the bloom fpp), so at steady-state recrawl ratios it
+        // approaches the full candidate set and would blow the broadcast /
+        // driver ceiling. The prior epoch's seen-skip fraction is the
+        // zero-cost estimator; past the threshold, the cogrouped two-tier
+        // keeps everything distributed (same rows, graceful degradation).
+        if (priorSeenFrac <= cfg.maxSeenFracForBroadcast)
+          SeenSet.unseenTwoTierBroadcast(deduped, seen,
+            spark.createDataset(probeSegs))
+        else
+          SeenSet.unseenTwoTier(deduped, seen, spark.createDataset(probeSegs))
       } else (SeenSet.unseenExact(deduped, seen), () => ())
 
     // 4. fused host stage: robots admission + politeness rank + budget —
     // map-side deny/top-k prefilter, then one repartition(host)+sort pass
     val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
-    val scheduled = Politeness.schedule(unseen, rules, cfg.budgetPerHost)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (scheduledDs, bcRules) = Politeness.scheduleTracked(unseen, rules, cfg.budgetPerHost)
+    val scheduled = scheduledDs.persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE state-count job covers everything: every candidate row counts
     // as DUP or LIVE (from the cached dedup frame), every live row
@@ -238,11 +291,14 @@ object CrawlLoop {
     // read back ONLY this epoch's partition directories (listing the whole
     // payload tree would grow linearly with crawl age; at 10^4+ epochs the
     // file listing, not the data, becomes the cost)
-    val written = {
+    val touchedBuckets = {
       val fs = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val leaves = (0 until cfg.buckets)
+      (0 until cfg.buckets).filter(b =>
+        fs.exists(new Path(s"${cfg.workDir}/payload/host_bucket=$b/crawl_epoch=$epoch")))
+    }
+    val written = {
+      val leaves = touchedBuckets
         .map(b => s"${cfg.workDir}/payload/host_bucket=$b/crawl_epoch=$epoch")
-        .filter(d => fs.exists(new Path(d)))
       if (leaves.isEmpty)
         spark.read.parquet(s"${cfg.workDir}/payload")
           .filter(col("crawl_epoch") === epoch) // degenerate epoch: fall back
@@ -252,6 +308,15 @@ object CrawlLoop {
 
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
     store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
+
+    // J3 upsert-reader maintenance: merge this epoch's rows into the slim
+    // latest/ view (only touched buckets rewritten; store side scanned,
+    // never shuffled) so "current rows" consumers scan instead of paying a
+    // full-store window per read
+    if (cfg.maintainLatest) {
+      spark.sparkContext.setJobDescription(s"epoch=$epoch latest-view")
+      LatestView.maintain(spark, cfg.workDir, epoch, written, touchedBuckets)
+    }
 
     // seen delta = terminal-success rows only (reference guard:
     // status==DOWNLOADED ⇒ skip; CrawlerOrchestrationService.java:114-115)
@@ -279,6 +344,18 @@ object CrawlLoop {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(bloomDir(cfg.workDir, epoch))
       val fsB = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // sidecar meta: the segment set is only reusable under the SAME
+      // bucketing (host_bucket = hash % buckets) — a changed cfg.buckets
+      // between runs can leave the per-segment bloom shape unchanged (the
+      // max(64,...) floor, or proportionally scaled totalUrls) while every
+      // key now maps to a different bucket, which would read as bloom
+      // false NEGATIVES. loadSegments validates this file and rebuilds on
+      // any mismatch.
+      val metaOut = fsB.create(new Path(s"${bloomDir(cfg.workDir, epoch)}/_graft_meta.json"), true)
+      metaOut.write(
+        s"""{"buckets":${cfg.buckets},"expectedPerBucket":$expectedPerBucket,"fpp":${cfg.bloomFpp}}"""
+          .getBytes("UTF-8"))
+      metaOut.close()
       fsB.delete(new Path(bloomDir(cfg.workDir, epoch - 1)), true)
     }
     spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
@@ -341,6 +418,9 @@ object CrawlLoop {
     commit(spark, cfg.workDir, m)
 
     scheduled.unpersist()
+    // unpersist, not destroy: lineage replay may still lazily re-broadcast
+    // (same rationale as the bloom broadcast in unseenTwoTierBroadcast)
+    bcRules.unpersist()
     m
   }
 
@@ -376,13 +456,28 @@ object CrawlLoop {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/_SUCCESS"))) return None
     scala.util.Try {
+      // sidecar meta guards the BUCKETING, not just the per-segment shape:
+      // a changed cfg.buckets remaps every key's host_bucket while the
+      // bloom shape can stay identical (the max(64,...) floor, or
+      // proportional totalUrls), and probing under the wrong mapping reads
+      // as false negatives = silent duplicate crawls. No/unreadable meta
+      // (pre-meta layout) ⇒ rebuild.
+      val metaPath = new Path(s"$dir/_graft_meta.json")
+      if (!fs.exists(metaPath)) return None
+      val metaIn = fs.open(metaPath)
+      val metaStr = scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+      metaIn.close()
+      val bucketsRe = """"buckets":(\d+)""".r
+      val metaBuckets = bucketsRe.findFirstMatchIn(metaStr).map(_.group(1).toInt)
+      if (!metaBuckets.contains(cfg.buckets)) return None
       val segs = spark.read.parquet(dir)
         .select(col("host_bucket").cast("int"), col("bloom"))
         .as[(Int, Array[Byte])].collect().toSeq
       val want = graft.seen.LongBloom.create(expectedPerBucket, cfg.bloomFpp)
-      val ok = segs.headOption.forall { case (_, bytes) =>
+      val ok = segs.forall { case (b, bytes) =>
         val f = graft.seen.LongBloom.deserialize(bytes)
-        f.numBits == want.numBits && f.numHashes == want.numHashes
+        b >= 0 && b < cfg.buckets &&
+          f.numBits == want.numBits && f.numHashes == want.numHashes
       }
       if (ok) Some(segs) else None
     }.getOrElse(None)

@@ -31,6 +31,48 @@ object SecurityPredicates {
     else None
 }
 
+/** S2 gzip-aware transport decode — the reference decompresses
+  * `Content-Encoding: gzip` responses before parsing
+  * (service/SitemapCrawlerService.java:100-124). ~5% of the simulated wire
+  * payloads arrive gzip-wrapped ([[Outcomes.isGzip]]); [[decodeBody]]
+  * sniffs the gzip magic and inflates with a hard expansion cap (the
+  * decompression-bomb guard — P19's zip-bomb analogue on the transport
+  * layer) before the image decode sees the body. */
+object Transport {
+  private val Magic0: Byte = 0x1f.toByte
+  private val Magic1: Byte = 0x8b.toByte
+
+  def gzip(body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(body); gz.close()
+    bos.toByteArray
+  }
+
+  def isGzipped(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && b(0) == Magic0 && b(1) == Magic1
+
+  /** Transparent body decode: passthrough for identity encoding, inflate
+    * for gzip; None on a corrupt stream or past the expansion cap. */
+  def decodeBody(wire: Array[Byte],
+      maxLen: Long = SecurityPredicates.MaxDeclaredBytes): Option[Array[Byte]] = {
+    if (!isGzipped(wire)) return Option(wire)
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(wire))
+      val out = new java.io.ByteArrayOutputStream(math.min(wire.length * 4L, 1 << 16).toInt)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxLen) return None // bomb guard
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+}
+
 /** Simulated fetch → decode → validate stage (SURVEY.md §2.1 S4, §2.2
   * P17-P26) as a typed `mapPartitions`: in production one HTTP client per
   * partition; here a deterministic generator keyed on url_hash. The
@@ -44,6 +86,47 @@ object SecurityPredicates {
   * violations land as FAILED/REJECTED with the status machine of
   * model/LegalDocument.java:129-131 plus a typed reject_reason column.
   */
+/** Ad-hoc payload validation — the on-demand analogue of the reference's
+  * `XmlValidationController` (validate a user-supplied document outside
+  * the crawl path) over an arbitrary binary column: the same security
+  * predicates + transport decode + structural decode + meta-consistency +
+  * PSNR checks the fetch pipeline applies, but as a standalone query
+  * returning one typed (ok, reason, psnr) row per payload, not an
+  * aggregate (c05/c09 only expose the rolled-up outcomes). */
+object Validate {
+
+  /** Input columns: (image_id, bytes, w, h, fmt, url_hash) — w/h/fmt are
+    * the DECLARED metadata, url_hash keys the source pixels for the PSNR
+    * invariant (pass any frame with those columns; extra columns are
+    * ignored). Output: (image_id, ok, reason, psnr). */
+  def validatePayload(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import SecurityPredicates.Reason
+    df.select("image_id", "bytes", "w", "h", "fmt", "url_hash")
+      .as[(String, Array[Byte], Int, Int, String, Long)]
+      .map { case (id, bytes, dw, dh, dfmt, uh) =>
+        val declaredLen = if (bytes == null) 0L else bytes.length.toLong
+        val sec = SecurityPredicates.check(declaredLen, dw.toLong, dh.toLong)
+        if (sec.isDefined) (id, false, sec.get, 0.0)
+        else Transport.decodeBody(bytes).flatMap(ImageCodec.decode) match {
+          case None => (id, false, Reason.DecodeError, 0.0)
+          case Some((w, h, fmt, px)) =>
+            if (w != dw || h != dh || fmt != dfmt)
+              (id, false, Reason.MetaMismatch, 0.0)
+            else {
+              val p = ImageCodec.psnr(ImageCodec.pixels(uh, w, h), px)
+              val capped = if (p.isPosInfinity) 99.0 else math.floor(p * 100) / 100
+              val ok = if (fmt == "png") p.isPosInfinity else p >= Fetch.PsnrFloorDb
+              (id, ok, if (ok) "" else Reason.PsnrFloor, capped)
+            }
+        }
+      }
+      .toDF("image_id", "ok", "reason", "psnr")
+  }
+}
+
 object Fetch {
 
   val PsnrFloorDb = 40.0
@@ -85,9 +168,18 @@ object Fetch {
           // structurally undecodable, so validation fails DETERMINISTICALLY
           // (a flipped body byte could stay above the PSNR floor on a large
           // image, silently diverging engine status from the simulator's)
-          val wire = if (Outcomes.isCorrupt(a.url_hash)) {
+          val body0 = if (Outcomes.isCorrupt(a.url_hash)) {
             val c = wire0.clone(); c(0) = (c(0) ^ 0xff).toByte; c
           } else wire0
+          // S2: ~5% of payloads travel gzip-wrapped; the transport decode
+          // is transparent and the DECOMPRESSED body is what gets
+          // validated and stored (the reference stores the decompressed
+          // content, service/DocumentDownloadService.java:183-195) — so
+          // the stored table, statuses, and engine⇄sim equivalence are
+          // unchanged by the wire encoding.
+          val transport =
+            if (Outcomes.isGzip(a.url_hash)) Transport.gzip(body0) else body0
+          val wire = Transport.decodeBody(transport).getOrElse(Array.emptyByteArray)
           val caption = Outcomes.caption(a.docid, a.host)
           val (status, psnr, reason) = ImageCodec.decode(wire) match {
             case Some((dw, dh, dfmt, px)) if dw == w && dh == h && dfmt == fmt =>

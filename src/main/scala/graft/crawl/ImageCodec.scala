@@ -144,6 +144,12 @@ object Outcomes {
   def isCorrupt(urlHash: Long): Boolean =
     java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 0x7f4a7c15L), 211L) == 0L
 
+  /** ~5% of wire payloads arrive gzip-wrapped (S2 transport encoding —
+    * carved orthogonally to every other outcome class, so statuses and
+    * engine⇄sim equivalence are untouched by the wire encoding). */
+  def isGzip(urlHash: Long): Boolean =
+    java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 0x2f52d9a4L), 20L) == 0L
+
   /** True when a REJECTED row's fixture is the decompression-bomb variant
     * (absurd declared dimensions) rather than plain oversize: carves the
     * existing Rejected class in half WITHOUT changing any status, so the

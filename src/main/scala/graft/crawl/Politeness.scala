@@ -90,11 +90,23 @@ object Politeness {
     }
 
   def schedule(unseen: Dataset[KeyedUrl], rules: Map[String, RobotsRule],
-      budgetPerHost: Int, epochWindowSec: Long = 0L): Dataset[(KeyedUrl, String, Int)] = {
+      budgetPerHost: Int, epochWindowSec: Long = 0L): Dataset[(KeyedUrl, String, Int)] =
+    scheduleTracked(unseen, rules, budgetPerHost, epochWindowSec)._1
+
+  /** [[schedule]] plus the rules broadcast handle: ONE broadcast of the
+    * rules map is shared by phase 0 and phase 1 (previously each phase
+    * made its own, and neither was ever released — one leaked broadcast
+    * per epoch on long crawls). The caller unpersists the handle after the
+    * scheduled rows are materialized. */
+  def scheduleTracked(unseen: Dataset[KeyedUrl], rules: Map[String, RobotsRule],
+      budgetPerHost: Int, epochWindowSec: Long = 0L)
+      : (Dataset[(KeyedUrl, String, Int)],
+         org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]) = {
     val spark = unseen.sparkSession
     import spark.implicits._
-    val pre = prefilter(unseen, rules, budgetPerHost, epochWindowSec = epochWindowSec)
     val bcRules = spark.sparkContext.broadcast(rules)
+    val pre = prefilter(unseen, rules, budgetPerHost,
+      epochWindowSec = epochWindowSec, sharedRules = Some(bcRules))
 
     // phase 1: exact global ranking over the (bounded) survivors only
     val ranked = pre.filter(_._2 == Sched.Survivor).map(_._1)
@@ -115,7 +127,7 @@ object Politeness {
           else (r, Sched.Deferred, 0)
         }
       }
-    pre.filter(_._2 != Sched.Survivor).unionByName(ranked)
+    (pre.filter(_._2 != Sched.Survivor).unionByName(ranked), bcRules)
   }
 
   /** Phase 0 of [[schedule]]: streamed map-side pass. Emits
@@ -135,11 +147,12 @@ object Politeness {
 
   private[graft] def prefilter(unseen: Dataset[KeyedUrl],
       rules: Map[String, RobotsRule], budgetPerHost: Int,
-      maxHeapHosts: Int = MaxHeapHosts, epochWindowSec: Long = 0L)
+      maxHeapHosts: Int = MaxHeapHosts, epochWindowSec: Long = 0L,
+      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None)
       : Dataset[(KeyedUrl, String, Int)] = {
     val spark = unseen.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rules)
+    val bc = sharedRules.getOrElse(spark.sparkContext.broadcast(rules))
     implicit val ordKey: Ordering[KeyedUrl] = Ordering.by(
       (k: KeyedUrl) => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
     unseen.mapPartitions { rows =>

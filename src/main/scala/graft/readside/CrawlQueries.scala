@@ -105,19 +105,19 @@ object CrawlQueries {
 
   /** J3 upsert reader: latest-row-wins view over the multi-epoch payload
     * (the MERGE-less stand-in — a forceUpdate re-crawl appends a new
-    * `crawl_epoch` row; readers dedup by url_hash keeping the newest).
-    * Summarized per epoch so the result stays small. */
-  def c08LatestDocs(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("url_hash")).orderBy(col("crawl_epoch").desc)
-    s.read.parquet(s"${crawlDir(s)}/payload")
-      .withColumn("rn__", row_number().over(w))
-      .filter(col("rn__") === 1)
+    * `crawl_epoch` row). Reads the INCREMENTALLY MAINTAINED `latest/`
+    * table ([[graft.crawl.LatestView]], kept current by the epoch loop):
+    * a plain partition-prunable scan — no `Window.partitionBy(url_hash)`
+    * over the whole store per read (round-2's slowest c-query; an
+    * O(store)-shuffle non-starter at 10^10 rows). CrawlSpec asserts the
+    * view equals the window reader row-for-row, including under
+    * forceUpdate. Summarized per epoch so the result stays small. */
+  def c08LatestDocs(s: SparkSession, dir: String): DataFrame =
+    graft.crawl.LatestView.read(s, crawlDir(s))
       .groupBy(col("crawl_epoch"))
       .agg(count(lit(1)).as("n_latest"),
         countDistinct(col("url_hash")).as("n_urls"))
       .orderBy(col("crawl_epoch"))
-  }
 
   /** P19 reject-reason rollup: typed reject/failure classes per status
     * (the reference's typed XmlValidationException counters). */
@@ -170,6 +170,14 @@ object CrawlQueries {
       .join(exact, Seq("host_bucket"), "left")
       .orderBy(col("host_bucket"))
   }
+
+  /** Ad-hoc payload validation (the reference's XmlValidationController
+    * analogue — validate arbitrary payloads on demand, per-row typed
+    * results, not the c05/c09 rollups): the full security + transport +
+    * decode + meta + PSNR check over every crawled payload binary. */
+  def c13ValidatePayload(s: SparkSession, dir: String): DataFrame =
+    Validate.validatePayload(s.read.parquet(s"${crawlDir(s)}/payload"))
+      .orderBy(col("image_id"))
 
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the

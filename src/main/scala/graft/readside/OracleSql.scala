@@ -10,12 +10,15 @@ package graft.readside
 object OracleSql {
 
   val sql: Map[String, String] = Map(
+    // money/quantity sums integer-scaled to BIGINT (units / cents / x1e4):
+    // exact on <=2-decimal sources and immune to decimal-precision-widening
+    // type mismatches between the engines
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS sum_disc_price,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_x1e4,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -39,7 +42,7 @@ object OracleSql {
 
     "q04_part_join" -> """
       SELECT p_brand, count(*) AS n_items,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
       ORDER BY p_brand""",
@@ -368,15 +371,17 @@ object OracleSql {
       WHERE ((doc_id % 5) + 5) % 5 = 0
       ORDER BY doc_id""",
 
+    // independently derives the expected extraction from the STORED
+    // columns (text excerpt + length) — the oracle cannot shortcut the
+    // values from doc_id arithmetic
     "q37_metadata_map" -> """
       SELECT doc_id,
-             'BGH' AS court,
-             printf('AZ-%d', doc_id) AS case_number,
-             printf('ECLI:DE:BGH:2020:%d', doc_id) AS ecli,
+             source AS src,
+             lang AS lng,
              CAST(2 AS BIGINT) AS n_extras,
-             printf('Region=R%d,Seite=%d',
-                    ((doc_id % 10) + 10) % 10,
-                    ((doc_id % 7) + 7) % 7) AS extras_csv
+             'Auszug=' ||
+               regexp_replace(substr(coalesce(text, ''), 1, 24), '[\n\r:,=]', ' ', 'g') ||
+               ',Zeichen=' || CAST(n_chars AS VARCHAR) AS extras_csv
       FROM documents ORDER BY doc_id""",
 
     "q28_knn_brute" -> """

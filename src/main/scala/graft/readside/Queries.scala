@@ -12,8 +12,14 @@ import graft.expressions.GraftFunctions
   *
   * Conventions for oracle parity:
   *  - every computed column aliased identically in Spark and SQL;
-  *  - money sums go through decimal(18,2) casts (order-independent, exact);
-  *  - integer sums cast to bigint on both sides;
+  *  - money/quantity aggregates are INTEGER-SCALED BIGINTs (units /
+  *    cents / ×10⁴): exact for ≤2-decimal sources on both engines, and
+  *    immune to decimal-precision-widening type skew (Spark sums
+  *    decimal(18,2)→decimal(28,2), DuckDB →decimal(38,2) — value-equal
+  *    but type-distinct, which the driver's hasher distinguishes; decimal
+  *    outputs failed the gate in rounds 1-2, integer outputs never have);
+  *  - DuckDB sums of BIGINT return HUGEINT — wrap the outer sum in
+  *    CAST(... AS BIGINT) in the oracle SQL;
   *  - every result carries a total ORDER BY with a unique tie-break;
   *  - no wall-clock, no random: all constants literal.
   */
@@ -22,22 +28,43 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize `df` to a scratch parquet and read it back: cuts lineage
+    * (so upstream caches can be released) WITHOUT collecting a single row
+    * to the driver — the at-scale-safe replacement for the
+    * collect+createDataFrame pattern (a high-dup corpus labels a large
+    * fraction of all rows, so "the result is tiny" does not hold for the
+    * clustering output at 100 TB). The scratch dir is reaped at JVM exit. */
+  private def materialize(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toFile
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(dir))
+    df.write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString)
+  }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   // ---- TPC-H-ish relational surface -------------------------------------
 
-  /** A1/A2-style grouped aggregation (pricing summary). */
-  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+  /** A1/A2-style grouped aggregation (pricing summary). Money/quantity
+    * aggregates are INTEGER-SCALED BIGINTs (quantity units, price cents,
+    * discounted price in ×10⁴ integer space): the source doubles carry ≤2
+    * decimals, so `round(x*100)` is exact on both engines and the sums
+    * never touch decimal-precision widening (Spark sums decimal(18,2) to
+    * decimal(28,2), DuckDB to decimal(38,2) — value-identical but
+    * type-distinct, which a type-aware hasher distinguishes). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("bigint")
+    val discPct = round((lit(1.0) - col("l_discount")) * 100).cast("bigint")
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-          .cast("decimal(28,4)").as("sum_disc_price"),
+        sum(round(col("l_quantity")).cast("bigint")).as("sum_qty"),
+        sum(cents).as("sum_base_price_cents"),
+        sum(cents * discPct).as("sum_disc_price_x1e4"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** P-style projection+filter, pushed to the parquet scan. */
   def q02FilterProject(s: SparkSession, dir: String): DataFrame =
@@ -60,12 +87,14 @@ object Queries {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Fact × small-dim broadcast join (part side << lineitem). */
+  /** Fact × small-dim broadcast join (part side << lineitem). Quantity sum
+    * is an integer-scaled BIGINT (see q01's rationale). */
   def q04PartJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_items"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("bigint")).as("sum_qty"))
       .orderBy(col("p_brand"))
 
   /** 3-way star join, both dims broadcast. */
@@ -340,10 +369,40 @@ object Queries {
     // corpus carry no dedup signal but dominate every minhash min —
     // without this, band buckets collapse into O(corpus) blobs and the
     // candidate set goes quadratic.
-    val stopShingles = raw.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > nDocs / 2)
-      .select(col("shingle"))
+    //
+    // Document frequency is estimated on a DETERMINISTIC ~m-doc sample and
+    // the candidates then EXACT-confirmed against the full corpus, instead
+    // of group-aggregating the entire exploded shingle table (round 2's
+    // single most expensive shuffle). Soundness: a true stop-shingle
+    // (df > 0.5) falls below the 0.35 sample threshold with probability
+    // ≤ exp(-2·m·0.15²) = e⁻⁹⁰ at m=2000 (Hoeffding) — and the sample is
+    // hash-keyed, so the result is bit-reproducible on the same corpus;
+    // false positives (sample-df ≥ 0.35 but true df ≤ 0.5) are eliminated
+    // by the exact confirm. Scale shape: the sampled agg shuffles O(m·
+    // shingles-per-doc) rows REGARDLESS of corpus size, and the confirm is
+    // a broadcast semi-join (candidate set is tiny) + a candidate-only
+    // count — the full-table shingle shuffle is gone.
+    val stopShingles = {
+      val m = 2000L
+      if (nDocs <= m) {
+        raw.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > nDocs / 2)
+          .select(col("shingle"))
+      } else {
+        val sampleRaw = raw.filter(pmod(xxhash64(col("doc_id")), lit(nDocs)) < m)
+        val nSample = sampleRaw.select(col("doc_id")).distinct().count()
+        val candidates = sampleRaw.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_s"))
+          .filter(col("df_s") >= lit(0.35) * nSample)
+          .select(col("shingle"))
+        raw.join(broadcast(candidates), Seq("shingle"), "left_semi")
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > nDocs / 2)
+          .select(col("shingle"))
+      }
+    }
     val exploded = raw.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
       .persist()
     // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side partial
@@ -384,15 +443,13 @@ object Queries {
         (col("sz_a") + col("sz_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.35)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
-    // materialize, then release every intermediate cache — without this a
-    // bench/verify session silently carries three cached datasets per
-    // q27 call for its whole life. The confirmed near-dup pair list is
-    // tiny relative to the corpus (it IS the dedup signal); at full scale
-    // the same pipeline would stream to a sink instead of collecting.
-    val rows = out.collect()
+    // materialize to scratch parquet, then release every intermediate
+    // cache — without this a bench/verify session silently carries three
+    // cached datasets per q27 call for its whole life. No driver collect:
+    // the pair list stays distributed end-to-end.
+    val result = materialize(s, out)
     docs.unpersist(); raw.unpersist(); exploded.unpersist(); cand.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    result.orderBy(col("id_a"), col("id_b"))
   }
 
   /** Brute-force cosine top-k against a fixed query vector (the exact ANN
@@ -619,22 +676,33 @@ object Queries {
     * `MapType(String,String)` column (the reference's td.TD30-label /
     * td.TD70-value walk, service/HtmlContentExtractionService.java:100-138),
     * known labels pulled into typed fields, the REST kept as a map-typed
-    * "additional fields" column (`Map<String,String>` analogue) — then
-    * projected to deterministic scalars so the DuckDB oracle hashes it. */
+    * "additional fields" column (`Map<String,String>` analogue).
+    *
+    * The label/value document is assembled from STORED row data — the
+    * source/lang fields plus a cleaned excerpt and length drawn from the
+    * `text` column — so the extraction round-trips real unpredictable
+    * content and the DuckDB oracle must independently derive the same
+    * values from the table (it cannot synthesize them from doc_id
+    * arithmetic, the round-1/2 weakness). */
   def q37MetadataMap(s: SparkSession, dir: String): DataFrame = {
-    val body = format_string(
-      "Gericht: BGH\nAktenzeichen: AZ-%d\nECLI: ECLI:DE:BGH:2020:%d\nRegion: R%d\nSeite: %d",
-      col("doc_id"), col("doc_id"), pmod(col("doc_id"), lit(10)),
-      pmod(col("doc_id"), lit(7)))
+    // excerpt cleaned of the structural chars (line/pair/kv separators) so
+    // the parse is unambiguous — the reference's extractor does the same
+    // class of cleanup before keying its map (text cleaning P12)
+    val excerpt = regexp_replace(
+      substring(coalesce(col("text"), lit("")), 1, 24), "[\\n\\r:,=]", " ")
+    val body = concat(
+      lit("Quelle: "), col("source"),
+      lit("\nSprache: "), col("lang"),
+      lit("\nAuszug: "), excerpt,
+      lit("\nZeichen: "), col("n_chars").cast("string"))
     t(s, dir, "documents")
       .select(col("doc_id"), str_to_map(body, lit("\n"), lit(": ")).as("meta"))
       .select(col("doc_id"),
-        element_at(col("meta"), "Gericht").as("court"),
-        element_at(col("meta"), "Aktenzeichen").as("case_number"),
-        element_at(col("meta"), "ECLI").as("ecli"),
+        element_at(col("meta"), "Quelle").as("src"),
+        element_at(col("meta"), "Sprache").as("lng"),
         map_filter(col("meta"), (k, _) =>
-          !k.isin("Gericht", "Aktenzeichen", "ECLI")).as("extras"))
-      .select(col("doc_id"), col("court"), col("case_number"), col("ecli"),
+          !k.isin("Quelle", "Sprache")).as("extras"))
+      .select(col("doc_id"), col("src"), col("lng"),
         size(col("extras")).cast("bigint").as("n_extras"),
         concat_ws(",", array_sort(transform(map_entries(col("extras")),
           e => concat(e.getField("key"), lit("="), e.getField("value")))))
@@ -714,7 +782,8 @@ object Queries {
       .withColumn("rep", col("id")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels.select(col("id").as("id_b"), col("rep").as("nrep")), Seq("id_b"))
         .select(col("id_a").as("id"), col("nrep").as("rep"))
@@ -732,14 +801,23 @@ object Queries {
       labels = next
       rounds += 1
     }
+    // fail loudly on non-convergence: silently returning partial labels
+    // would diverge from the recursive-CTE oracle with no error signal
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"q41: min-label propagation did not converge in $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds the " +
+          "cap; swap in the large-star/small-star O(log n) variant")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     val out = labels
       .join(sizes, Seq("rep"))
       .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
         col("cluster_size"))
-      .orderBy(col("vec_id"))
-    val rows = out.collect()
+    // scratch-parquet lineage cut instead of collect+createDataFrame: the
+    // labeled node set is NOT small relative to the corpus on a high-dup
+    // corpus — never materialize it on the driver
+    val result = materialize(s, out)
     edges.unpersist(); labels.unpersist()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    result.orderBy(col("vec_id"))
   }
 }

@@ -393,6 +393,155 @@ class CrawlSpec extends SparkSpec {
     assert(latestDups == 0)
   }
 
+  /** Window-reader ground truth for the latest view (ties impossible: a
+    * url_hash is fetched at most once per epoch). */
+  private def windowLatest(payloadPath: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"url_hash").orderBy($"crawl_epoch".desc)
+    spark.read.parquet(payloadPath)
+      .withColumn("rn__", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn__" === 1)
+      .select($"url_hash", $"image_id", $"host", $"slot", $"w", $"h", $"fmt",
+        $"phash", $"status", $"psnr", $"reject_reason", $"n_bytes",
+        $"host_bucket".cast("int").as("host_bucket"),
+        $"crawl_epoch".cast("int").as("crawl_epoch"))
+  }
+
+  private def assertLatestMatchesWindow(workDir: String): Unit = {
+    val view = LatestView.read(spark, workDir)
+      .select(windowLatest(s"$workDir/payload").columns.map(col): _*)
+    val want = windowLatest(s"$workDir/payload")
+    assert(view.count() == want.count())
+    assert(view.exceptAll(want).count() == 0 && want.exceptAll(view).count() == 0,
+      "latest view diverges from the window reader")
+  }
+
+  test("latest view ≡ window reader row-for-row (incremental J3 upsert reader)") {
+    val _ = (metrics, sim) // force the shared crawl
+    assertLatestMatchesWindow(wd)
+    // and its plan is a scan: no Window over the payload store
+    val plan = readside.CrawlQueries.c08LatestDocs(spark, "")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"c08 still windows the store:\n$plan")
+  }
+
+  test("latest view survives an epoch replay (crash before commit) and under forceUpdate") {
+    val cf = cfg.copy(workDir = tmpDir(), forceUpdate = true, epochs = 2)
+    CrawlLoop.run(spark, cf)
+    assertLatestMatchesWindow(cf.workDir)
+    // simulate a crash AFTER the latest swap but BEFORE the epoch commit:
+    // drop the last commit marker and re-run — the replayed epoch must
+    // merge idempotently (its own rows anti-joined out before re-adding)
+    val fs = new org.apache.hadoop.fs.Path(cf.workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${cf.workDir}/_commits/epoch_1.json"), false)
+    CrawlLoop.run(spark, cf)
+    assertLatestMatchesWindow(cf.workDir)
+  }
+
+  test("S2 gzip transport: gzip fixture present; body decode transparent; invariants hold") {
+    // the fixture actually exercises the path: some admitted URLs are gzip-wired
+    val hashes = spark.read.parquet(s"$wd/payload").select($"url_hash")
+      .as[Long].collect()
+    assert(hashes.count(Outcomes.isGzip) > 0, "no gzip-wired rows in fixture")
+    // round-trip: wrap + transparent decode is identity; corrupt stream → None
+    val body = ImageCodec.encode(ImageCodec.pixels(7L, 9, 9), 9, 9, "png")
+    val wrapped = Transport.gzip(body)
+    assert(Transport.isGzipped(wrapped) && !Transport.isGzipped(body))
+    assert(Transport.decodeBody(wrapped).get.sameElements(body))
+    assert(Transport.decodeBody(body).get.sameElements(body)) // identity passthrough
+    val corrupt = wrapped.clone(); corrupt(wrapped.length / 2) =
+      (corrupt(wrapped.length / 2) ^ 0x5a).toByte
+    // a flipped byte mid-stream must never return wrong bytes: either the
+    // CRC catches it (None) or inflation fails (None)
+    assert(Transport.decodeBody(corrupt).forall(_.sameElements(body)) ||
+      Transport.decodeBody(corrupt).isEmpty)
+    // bomb guard: expansion past the cap is refused
+    val big = Transport.gzip(new Array[Byte](4096))
+    assert(Transport.decodeBody(big, maxLen = 1024).isEmpty)
+    // stored payloads are the DECOMPRESSED bodies (store unchanged by wire
+    // encoding): every processed gzip-wired row decodes directly
+    val gzRows = spark.read.parquet(s"$wd/payload")
+      .filter($"status" === Status.Processed)
+      .select($"bytes", $"url_hash").as[(Array[Byte], Long)].collect()
+      .filter(r => Outcomes.isGzip(r._2))
+    assert(gzRows.nonEmpty, "no PROCESSED gzip-wired rows in fixture")
+    gzRows.foreach { case (b, _) => assert(ImageCodec.decode(b).isDefined) }
+  }
+
+  test("cooperative pause mid-run stops at the epoch boundary; resume reproduces the run") {
+    val wdP = tmpDir()
+    // a store hook that raises the pause flag DURING epoch 0 (the flag is
+    // polled between epochs, as the reference polls between dates)
+    object PausingStore extends PayloadStore {
+      def writePayload(r: org.apache.spark.sql.Dataset[FetchResult], w: String): Unit =
+        PayloadSink.writePayload(r, w)
+      def writeLineage(l: org.apache.spark.sql.Dataset[PartitionLineage], w: String, e: Int): Unit =
+        PayloadSink.writeLineage(l, w, e)
+      def writeMetrics(m: EpochMetrics, w: String, s: org.apache.spark.sql.SparkSession): Unit = {
+        if (m.epoch == 0) CrawlControl.requestPause(s, w)
+        PayloadSink.writeMetrics(m, w, s)
+      }
+      def writeSeenDelta(d: org.apache.spark.sql.DataFrame, w: String, e: Int): Unit =
+        PayloadSink.writeSeenDelta(d, w, e)
+      def writeKeyed(ds: org.apache.spark.sql.Dataset[KeyedUrl], dir: String): Unit =
+        PayloadSink.writeKeyed(ds, dir)
+    }
+    val cf = cfg.copy(workDir = wdP)
+    val ran = CrawlLoop.run(spark, cf, store = PausingStore)
+    assert(ran.map(_.epoch) == Seq(0), "pause flag was not honored at the epoch boundary")
+    assert(CrawlLoop.lastCommittedEpoch(spark, wdP) == 0) // epoch 0 committed, store intact
+    // resume: clear the flag, run to completion, compare to the uninterrupted run
+    CrawlControl.resume(spark, wdP)
+    CrawlLoop.run(spark, cf)
+    val pausedSeen = spark.read.parquet(s"$wdP/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(pausedSeen == sim.seen, "pause+resume diverged from the uninterrupted crawl")
+  }
+
+  test("cooperative cancel leaves a CANCELLED marker and a resumable store") {
+    val wdC = tmpDir()
+    val cf = cfg.copy(workDir = wdC)
+    CrawlLoop.run(spark, cf, stopAfter = 1) // epoch 0 committed
+    CrawlControl.requestCancel(spark, wdC)
+    val ran = CrawlLoop.run(spark, cf)
+    assert(ran.isEmpty, "cancel flag was not honored")
+    val fs = new org.apache.hadoop.fs.Path(wdC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wdC/_commits/crawl.CANCELLED.json")))
+    // the store is RESUMABLE: acknowledge + rerun reproduces the full crawl
+    CrawlControl.resume(spark, wdC)
+    CrawlLoop.run(spark, cf)
+    val seenAfter = spark.read.parquet(s"$wdC/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seenAfter == sim.seen, "cancel+resume diverged from the uninterrupted crawl")
+  }
+
+  test("ad-hoc payload validation (c13): verdicts agree with the fetch pipeline's statuses") {
+    // image_id repeats across epochs (a transient-FAILED row is retried
+    // with the same id) — key the comparison on (image_id, epoch)
+    val payload = spark.read.parquet(s"$wd/payload")
+      .withColumn("image_id",
+        concat($"image_id", org.apache.spark.sql.functions.lit("#"), $"crawl_epoch"))
+    val verdicts = Validate.validatePayload(payload)
+      .select($"image_id", $"ok", $"reason")
+      .as[(String, Boolean, String)].collect().map(v => v._1 -> v).toMap
+    val statuses = payload.select($"image_id", $"status", $"reject_reason")
+      .as[(String, String, String)].collect()
+    assert(statuses.nonEmpty && verdicts.size == statuses.length)
+    statuses.foreach { case (id, status, storedReason) =>
+      val (_, ok, reason) = verdicts(id)
+      if (status == Status.Processed) assert(ok, s"$id processed but re-validation failed: $reason")
+      else {
+        assert(!ok, s"$id $status but re-validation passed")
+        // rows with no stored body (REJECTED header-only, transient FAILED)
+        // can only re-validate as DECODE_ERROR; corrupt bodies keep their class
+        if (storedReason == SecurityPredicates.Reason.PsnrFloor)
+          assert(reason == SecurityPredicates.Reason.PsnrFloor)
+      }
+    }
+  }
+
   test("S10 deletes: tombstoned URL re-enters the crawl; undeleted stays skipped") {
     import graft.seen.SeenDeletes
     val wd3 = tmpDir()
