@@ -43,8 +43,13 @@ object CrawlBench {
         Files.createTempDirectory(java.nio.file.Paths.get(base), s"crawl-$cores").toString
       case None => Files.createTempDirectory(s"graft-crawl-bench-$cores").toString
     }
+    // SPARK_GRAFT_MAINTAIN_LATEST=0 is an ABLATION knob only (quantifies
+    // the latest-view maintenance cost); benched/recorded runs keep the
+    // default-on path — the upsert reader is part of the engine contract.
+    val maintainLatest = sys.env.get("SPARK_GRAFT_MAINTAIN_LATEST").forall(_ != "0")
     val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = 2,
-      numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L)
+      numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L,
+      maintainLatest = maintainLatest)
     val t0 = System.nanoTime()
     val metrics = CrawlLoop.run(spark, cfg)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -32,8 +32,14 @@ case class CrawlConfig(
     /** Maintain the incremental latest-row-wins view ([[LatestView]]) as
       * part of each epoch, so upsert readers scan instead of windowing the
       * whole store (reference in-place-update semantics,
-      * service/CrawlerOrchestrationService.java:120-137). */
+      * service/CrawlerOrchestrationService.java:120-137). Per-epoch cost is
+      * one O(epoch) pointer-delta append; the fold into the resolved dir
+      * runs every [[latestCompactEvery]] epochs. */
     maintainLatest: Boolean = true,
+    /** Cadence of the latest-view delta→resolved compaction (bounds the
+      * read-time tail at K epochs of pointers). 0 = never (readers resolve
+      * from deltas alone). */
+    latestCompactEvery: Int = 8,
     /** Steady-state guard for the broadcast confirm: when the PREVIOUS
       * epoch skipped more than this fraction of its candidates as already
       * seen, the maybe-seen sliver is no longer "small" (it approaches the
@@ -115,6 +121,11 @@ object CrawlLoop {
           // recovery call above).
           if (cfg.consolidateEvery > 0 && (e + 1) % cfg.consolidateEvery == 0)
             graft.seen.SeenDeletes.consolidate(spark, cfg.workDir, e + 1)
+          // latest-view compaction on its own cadence (after the commit:
+          // replay-safe — the merge is idempotent by key)
+          if (cfg.maintainLatest && cfg.latestCompactEvery > 0 &&
+              (e + 1) % cfg.latestCompactEvery == 0)
+            LatestView.compact(spark, cfg.workDir)
           e += 1
       }
     }
@@ -309,13 +320,13 @@ object CrawlLoop {
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
     store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
 
-    // J3 upsert-reader maintenance: merge this epoch's rows into the slim
-    // latest/ view (only touched buckets rewritten; store side scanned,
-    // never shuffled) so "current rows" consumers scan instead of paying a
-    // full-store window per read
+    // J3 upsert-reader maintenance: append this epoch's pointer delta
+    // (O(epoch) — one slim columnar write); the fold into the resolved
+    // latest/ dir happens on the latestCompactEvery cadence below, so
+    // "current rows" consumers never pay a full-store window per read
     if (cfg.maintainLatest) {
-      spark.sparkContext.setJobDescription(s"epoch=$epoch latest-view")
-      LatestView.maintain(spark, cfg.workDir, epoch, written, touchedBuckets)
+      spark.sparkContext.setJobDescription(s"epoch=$epoch latest-delta")
+      LatestView.appendDelta(spark, cfg.workDir, epoch, written)
     }
 
     // seen delta = terminal-success rows only (reference guard:

@@ -354,13 +354,15 @@ object Queries {
     val numHashes = 16
     val bands = 4
     val rowsPerBand = 4
-    // single scan of documents, shared by the shingling and the corpus
-    // count; repartition before the explode — a single parquet file would
-    // put the whole shingling in one task
+    // corpus count from a COLUMN-PRUNED scan (doc_id only — parquet reads
+    // no text bytes for it); the text is scanned exactly once, by the
+    // shingle explode, and never cached (caching the full text was a pure
+    // memory-bandwidth cost: the explode is its only consumer).
+    // repartition before the explode — a single parquet file would put the
+    // whole shingling in one task
+    val nDocs = t(s, dir, "documents").select(col("doc_id")).count()
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
-      .persist()
-    val nDocs = docs.count()
     val raw = docs
       .select(col("doc_id"),
         explode(GraftFunctions.shingleHashes(col("text"), 5)).as("shingle"))
@@ -391,7 +393,10 @@ object Queries {
           .select(col("shingle"))
       } else {
         val sampleRaw = raw.filter(pmod(xxhash64(col("doc_id")), lit(nDocs)) < m)
-        val nSample = sampleRaw.select(col("doc_id")).distinct().count()
+        // exact sample cardinality from the pruned doc_id scan — same
+        // hash predicate as sampleRaw, no shuffle over the shingle table
+        val nSample = t(s, dir, "documents").select(col("doc_id"))
+          .filter(pmod(xxhash64(col("doc_id")), lit(nDocs)) < m).count()
         val candidates = sampleRaw.groupBy(col("shingle"))
           .agg(count(lit(1)).as("df_s"))
           .filter(col("df_s") >= lit(0.35) * nSample)
@@ -405,7 +410,10 @@ object Queries {
     }
     val exploded = raw.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
       .persist()
-    // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side partial
+    // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side
+    // partial. Materialized eagerly (one row per DOC — tiny): the band
+    // self-join references it twice, and without the cut each side would
+    // re-aggregate the full shingle table
     val sig = exploded.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"),
         (0 until numHashes).map(i =>
@@ -431,8 +439,13 @@ object Queries {
     // docs containing it). Expanding pairs→(pair, left-shingle) and
     // hash-joining on (right-doc, shingle) keeps the row count at
     // |pairs| × avg-shingles, independent of shingle popularity.
-    val leftSh = cand.select(col("id_a"), col("id_b"))
-      .join(exploded.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+    // the candidate pair list is BROADCAST into the expansion join (it is
+    // LSH-bounded by design), so the cached shingle table streams through
+    // a narrow pass instead of shuffling on doc_id; the second join —
+    // whose left side grows with |pairs|×shingles — stays a shuffle join,
+    // the scale-safe choice
+    val leftSh = exploded.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(broadcast(cand.select(col("id_a"), col("id_b"))), Seq("id_a"))
     val inter = leftSh.join(
         exploded.select(col("doc_id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
@@ -448,7 +461,7 @@ object Queries {
     // cached datasets per q27 call for its whole life. No driver collect:
     // the pair list stays distributed end-to-end.
     val result = materialize(s, out)
-    docs.unpersist(); raw.unpersist(); exploded.unpersist(); cand.unpersist()
+    raw.unpersist(); exploded.unpersist(); cand.unpersist()
     result.orderBy(col("id_a"), col("id_b"))
   }
 

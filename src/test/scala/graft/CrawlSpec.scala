@@ -394,15 +394,16 @@ class CrawlSpec extends SparkSpec {
   }
 
   /** Window-reader ground truth for the latest view (ties impossible: a
-    * url_hash is fetched at most once per epoch). */
+    * url_hash is fetched at most once per epoch). Pointer columns — the
+    * view's contract; full rows come from the payload by partition-pruned
+    * join on (host_bucket, crawl_epoch, url_hash). */
   private def windowLatest(payloadPath: String): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"url_hash").orderBy($"crawl_epoch".desc)
     spark.read.parquet(payloadPath)
       .withColumn("rn__", org.apache.spark.sql.functions.row_number().over(w))
       .filter($"rn__" === 1)
-      .select($"url_hash", $"image_id", $"host", $"slot", $"w", $"h", $"fmt",
-        $"phash", $"status", $"psnr", $"reject_reason", $"n_bytes",
+      .select($"url_hash", $"status",
         $"host_bucket".cast("int").as("host_bucket"),
         $"crawl_epoch".cast("int").as("crawl_epoch"))
   }
@@ -414,24 +415,44 @@ class CrawlSpec extends SparkSpec {
     assert(view.count() == want.count())
     assert(view.exceptAll(want).count() == 0 && want.exceptAll(view).count() == 0,
       "latest view diverges from the window reader")
+    // and the pointer→payload join really is the full-row reader: every
+    // pointer resolves to exactly one payload row
+    val resolved = spark.read.parquet(s"$workDir/payload")
+      .join(LatestView.read(spark, workDir).select("url_hash", "crawl_epoch"),
+        Seq("url_hash", "crawl_epoch"))
+    assert(resolved.count() == want.count())
   }
 
   test("latest view ≡ window reader row-for-row (incremental J3 upsert reader)") {
     val _ = (metrics, sim) // force the shared crawl
+    // pre-compaction: reader resolves from the delta tail alone
     assertLatestMatchesWindow(wd)
-    // and its plan is a scan: no Window over the payload store
+    // and its plan is a scan + bounded-tail agg: no Window anywhere
     val plan = readside.CrawlQueries.c08LatestDocs(spark, "")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"c08 still windows the store:\n$plan")
+    // post-compaction: deltas folded into the resolved dir; same rows
+    LatestView.compact(spark, wd)
+    assertLatestMatchesWindow(wd)
+    val fs = new org.apache.hadoop.fs.Path(wd)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wd/latest_delta")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$wd/latest_delta")).isEmpty)
+    // compaction is idempotent (no deltas → no-op)
+    LatestView.compact(spark, wd)
+    assertLatestMatchesWindow(wd)
   }
 
   test("latest view survives an epoch replay (crash before commit) and under forceUpdate") {
-    val cf = cfg.copy(workDir = tmpDir(), forceUpdate = true, epochs = 2)
+    // compacting EVERY epoch exercises the full merge+swap machinery under
+    // forceUpdate (every URL re-pointed each epoch)
+    val cf = cfg.copy(workDir = tmpDir(), forceUpdate = true, epochs = 2,
+      latestCompactEvery = 1)
     CrawlLoop.run(spark, cf)
     assertLatestMatchesWindow(cf.workDir)
-    // simulate a crash AFTER the latest swap but BEFORE the epoch commit:
-    // drop the last commit marker and re-run — the replayed epoch must
-    // merge idempotently (its own rows anti-joined out before re-adding)
+    // simulate a crash AFTER the latest compaction but BEFORE the epoch
+    // commit: drop the last commit marker and re-run — the replayed
+    // epoch's delta must merge idempotently into the already-compacted view
     val fs = new org.apache.hadoop.fs.Path(cf.workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"${cf.workDir}/_commits/epoch_1.json"), false)
