@@ -139,9 +139,15 @@ object Bench {
     val words = 8 * 1024 * 1024 // 64 MB/thread — far beyond LLC
     val sums = new Array[Long](threads)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // allocation/first-touch happens BEFORE the clock starts (a 64 MB
+    // tabulate per thread ate most of a short window and zeroed the
+    // marker); the latch releases all threads into the timed loop together
+    val ready = new java.util.concurrent.CountDownLatch(threads)
+    val go = new java.util.concurrent.CountDownLatch(1)
     val ts = (0 until threads).map { i =>
       val t = new Thread(() => {
         val a = Array.tabulate(words)(k => k.toLong + i)
+        ready.countDown(); go.await()
         var passes = 0L; var s = 0L
         while (!stop.get()) {
           var j = 0
@@ -151,6 +157,7 @@ object Bench {
         sums(i) = if (s == 42) -1 else passes * words.toLong
       }); t.start(); t
     }
+    ready.await(); go.countDown()
     Thread.sleep(ms); stop.set(true); ts.foreach(_.join())
     sums.sum * 8.0 / (ms / 1000.0) // bytes/s
   }

@@ -91,6 +91,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("latest-view read: resolved store scanned (broadcast tail anti-join), tail-only shuffle, no Window") {
+    import org.apache.spark.sql.functions._
+    val wd = java.nio.file.Files.createTempDirectory("plan-latest").toString
+    def delta(e: Int) = spark.range(1000).select(
+      (col("id") + e * 100).as("url_hash"), lit("PROCESSED").as("status"),
+      (col("id") % 8).cast("int").as("host_bucket"),
+      lit(e).cast("int").as("crawl_epoch"))
+    graft.crawl.LatestView.appendDelta(spark, wd, 0, delta(0))
+    graft.crawl.LatestView.compact(spark, wd)
+    graft.crawl.LatestView.appendDelta(spark, wd, 1, delta(1))
+    val view = graft.crawl.LatestView.read(spark, wd) // resolved + tail path
+    view.write.format("noop").mode("overwrite").save()
+    val p = view.queryExecution.executedPlan.toString
+    // the only hash exchange is the TAIL's max-epoch aggregation on
+    // url_hash; the resolved store reaches the anti-join as a bare scan
+    // against the broadcast tail keys
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("url_hash")), s"resolved store shuffled on: $keys")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("Window"), "latest read must never window")
+  }
+
   test("epoch spine shuffle budget: url_hash dedup + host repartition only; seen-confirm broadcast; map-side window pruning") {
     import org.apache.spark.sql.functions._
     import graft.crawl._
