@@ -198,21 +198,41 @@ object Bench {
     // can flatter it); BASELINE.md analyzes why the top pair saturates
     // this box's single memory bus while a real N→4N cluster multiplies
     // bandwidth with nodes.
-    // Best-of-REPS per level: this VM shows up to 60% wall-time noise
-    // from background contention (measured on identical binaries/input),
-    // and a one-sample ratio of two noisy numbers is meaningless — the
-    // best of repeated fresh-JVM runs is the stable capability estimate.
-    // EVERY sample is also emitted (_rK keys) so a consumer can judge the
+    // INTERLEAVED sweeps, best-of-REPS: this VM shows 2-3x wall-time noise
+    // from background contention that drifts over minutes (measured on
+    // identical binaries/input). Grouping all reps of one level before the
+    // next level's reps puts the two halves of every efficiency ratio
+    // ~10 min apart — the ratio then measures window drift, not scaling.
+    // Instead each sweep runs ALL levels back-to-back (2,8,32 | 2,8,32 |
+    // ...), the pair efficiency is computed WITHIN a sweep (the common
+    // window factor cancels — a paired-measurement design), and the
+    // reported pair efficiency is the best sweep's (the calmest window's
+    // estimate). Per-level throughput stays best-of-all-samples. EVERY
+    // sample is also emitted (_rK keys) so a consumer can judge the
     // spread itself.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val levels = Seq(math.max(2, cpus / 16), math.max(2, cpus / 4), cpus).distinct
+    // 1-thread membw sample before each sweep: a per-window contention
+    // fingerprint next to that window's throughput samples
+    val sweepMarks = new scala.collection.mutable.ArrayBuffer[Double]
+    val sweeps: Seq[Map[Int, Double]] = (1 to reps).map { _ =>
+      sweepMarks += memStream(1, 300) / 1e9
+      levels.flatMap(c => forkCrawl(c, crawlUrls).map(c -> _)).toMap
+    }
     val samples: Map[Int, Seq[Double]] = levels.map { c =>
-      val runs = (1 to reps).flatMap(_ => forkCrawl(c, crawlUrls))
+      val runs = sweeps.flatMap(_.get(c))
       c -> (if (runs.nonEmpty) runs else Seq(inProcessCrawl(c, crawlUrls)))
     }.toMap
     val thr = levels.map(c => c -> samples(c).max)
     val effs = levels.sliding(2).collect { case Seq(a, b) =>
-      (a, b) -> (thr.toMap.apply(b) / ((b.toDouble / a) * thr.toMap.apply(a)))
+      val paired = sweeps.collect { case sw if sw.contains(a) && sw.contains(b) =>
+        sw(b) / ((b.toDouble / a) * sw(a))
+      }
+      // no complete sweep (fork failures): fall back to the best-of ratio
+      val eff =
+        if (paired.nonEmpty) paired.max
+        else thr.toMap.apply(b) / ((b.toDouble / a) * thr.toMap.apply(a))
+      (a, b) -> eff
     }.toVector
 
     // contention markers, measured right after the crawl levels so they
@@ -230,6 +250,8 @@ object Bench {
       // degenerate cpus<=2: a single level has no pair to compare
       ++ (if (effs.nonEmpty)
             Seq("crawl_scaling_efficiency" -> effs.map(_._2).min) else Nil)
+      ++ sweepMarks.zipWithIndex.map { case (v, i) =>
+           s"membw_gbps_1t_sweep${i + 1}" -> v }
       ++ Seq(
            "spin_giters_1t" -> spin1 / 1e9,
            s"spin_ratio_${spinThreads}t" -> (if (spin1 > 0) spinN / spin1 else 0.0),

@@ -37,6 +37,28 @@ object CrawlBench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_JOB_TIMES=1: per-job wall clock keyed by the job
+    // descriptions runEpoch sets — the scaling-diagnosis view (which epoch
+    // stage stops scaling between two parallelism levels). Local mode runs
+    // the loop's jobs sequentially, so per-job wall times partition the
+    // epoch wall.
+    if (sys.env.get("SPARK_GRAFT_JOB_TIMES").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerJobEnd}
+      val inFlight = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("(none)")
+          inFlight.put(js.jobId, (desc, System.nanoTime()))
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit =
+          Option(inFlight.remove(je.jobId)).foreach { case (desc, t) =>
+            System.err.println(
+              f"JOB_TIME id=${je.jobId}%-4d ms=${(System.nanoTime() - t) / 1e6}%8.0f  $desc")
+          }
+      })
+    }
     val wd = sys.env.get("SPARK_GRAFT_BENCH_DIR") match {
       case Some(base) =>
         Files.createDirectories(java.nio.file.Paths.get(base))
