@@ -95,18 +95,21 @@ object Transport {
   * aggregate (c05/c09 only expose the rolled-up outcomes). */
 object Validate {
 
-  /** Input columns: (image_id, bytes, w, h, fmt, url_hash) — w/h/fmt are
-    * the DECLARED metadata, url_hash keys the source pixels for the PSNR
-    * invariant (pass any frame with those columns; extra columns are
-    * ignored). Output: (image_id, ok, reason, psnr). */
+  /** Input columns: (image_id, bytes, w, h, fmt, url_canon) — w/h/fmt are
+    * the DECLARED metadata; the docid extracted from url_canon (same P4
+    * semantics as the keying stage) is the content identity that keys the
+    * source pixels for the PSNR invariant (pass any frame with those
+    * columns; extra columns are ignored). Output: (image_id, ok, reason,
+    * psnr). */
   def validatePayload(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import SecurityPredicates.Reason
-    df.select("image_id", "bytes", "w", "h", "fmt", "url_hash")
-      .as[(String, Array[Byte], Int, Int, String, Long)]
-      .map { case (id, bytes, dw, dh, dfmt, uh) =>
+    val docidRe = java.util.regex.Pattern.compile("docid=([A-Z0-9]+)")
+    df.select("image_id", "bytes", "w", "h", "fmt", "url_canon")
+      .as[(String, Array[Byte], Int, Int, String, String)]
+      .map { case (id, bytes, dw, dh, dfmt, urlCanon) =>
         val declaredLen = if (bytes == null) 0L else bytes.length.toLong
         val sec = SecurityPredicates.check(declaredLen, dw.toLong, dh.toLong)
         if (sec.isDefined) (id, false, sec.get, 0.0)
@@ -116,7 +119,10 @@ object Validate {
             if (w != dw || h != dh || fmt != dfmt)
               (id, false, Reason.MetaMismatch, 0.0)
             else {
-              val p = ImageCodec.psnr(ImageCodec.pixels(uh, w, h), px)
+              val m = docidRe.matcher(if (urlCanon == null) "" else urlCanon)
+              val docid = if (m.find()) m.group(1) else ""
+              val ck = Outcomes.contentKey(docid)
+              val p = ImageCodec.psnr(ImageCodec.pixels(ck, w, h), px)
               val capped = if (p.isPosInfinity) 99.0 else math.floor(p * 100) / 100
               val ok = if (fmt == "png") p.isPosInfinity else p >= Fetch.PsnrFloorDb
               (id, ok, if (ok) "" else Reason.PsnrFloor, capped)
@@ -158,11 +164,17 @@ object Fetch {
             epoch, a.slot, Array.emptyByteArray, 0, 0, "none",
             "", 0L, Status.Failed, 0.0, Reason.NetTransient)
         } else {
-          // fetched: DOWNLOADED → validate → PROCESSED | FAILED
-          val w = Outcomes.width(a.url_hash)
-          val h = Outcomes.height(a.url_hash)
+          // fetched: DOWNLOADED → validate → PROCESSED | FAILED.
+          // Content (pixels + dimensions) is keyed by the DOCUMENT
+          // (contentKey(docid)) — a mirror URL serves its primary's image;
+          // the encoding (fmt) stays a per-URL transport property, so a
+          // jpg mirror of a png original is a true near-duplicate (small
+          // phash hamming), not a byte-identical copy.
+          val ck = Outcomes.contentKey(a.docid)
+          val w = Outcomes.width(ck)
+          val h = Outcomes.height(ck)
           val fmt = Outcomes.fmt(a.url_hash)
-          val src = ImageCodec.pixels(a.url_hash, w, h)
+          val src = ImageCodec.pixels(ck, w, h)
           val wire0 = ImageCodec.encode(src, w, h, fmt)
           // corrupt-payload fixture: flip the magic byte after encoding —
           // structurally undecodable, so validation fails DETERMINISTICALLY
@@ -181,18 +193,22 @@ object Fetch {
             if (Outcomes.isGzip(a.url_hash)) Transport.gzip(body0) else body0
           val wire = Transport.decodeBody(transport).getOrElse(Array.emptyByteArray)
           val caption = Outcomes.caption(a.docid, a.host)
-          val (status, psnr, reason) = ImageCodec.decode(wire) match {
+          // phash describes the STORED pixels (post-encode), not the
+          // source: the perceptual hash is the dedup key for what the
+          // table actually holds, and lossy re-encodes of the same
+          // document should land at small-but-nonzero hamming
+          val (status, psnr, reason, ph) = ImageCodec.decode(wire) match {
             case Some((dw, dh, dfmt, px)) if dw == w && dh == h && dfmt == fmt =>
               val p = ImageCodec.psnr(src, px)
               val ok =
                 if (fmt == "png") p.isPosInfinity // lossless: bit-exact
                 else p >= PsnrFloorDb // lossy: 40dB floor
-              if (ok) (Status.Processed, p, "")
-              else (Status.Failed, p, Reason.PsnrFloor)
-            case Some(_) => (Status.Failed, 0.0, Reason.MetaMismatch)
-            case None => (Status.Failed, 0.0, Reason.DecodeError)
+              val hash = ImageCodec.phash(px, w, h)
+              if (ok) (Status.Processed, p, "", hash)
+              else (Status.Failed, p, Reason.PsnrFloor, hash)
+            case Some(_) => (Status.Failed, 0.0, Reason.MetaMismatch, 0L)
+            case None => (Status.Failed, 0.0, Reason.DecodeError, 0L)
           }
-          val ph = ImageCodec.phash(src, w, h)
           FetchResult(imageId, a.url_hash, a.url_canon, a.host, a.host_bucket,
             epoch, a.slot, wire, w, h, fmt, caption, ph, status,
             if (psnr.isPosInfinity) 99.0 else math.floor(psnr * 100) / 100,

@@ -21,6 +21,10 @@ import graft.functions.UrlFunctions
   *    (an epoch-local domain leaves the cross-epoch seen store unhit);
   *  - ~5% of URLs carry injected whitespace noise (canonicalization
   *    fixture) — noise position varies but canonical form is identical;
+  *  - 1/8 of the dup-class rows are MIRRORS: same docid + host under a
+  *    second path (/jportal/mirror) — a distinct URL serving the same
+  *    document (image content is docid-keyed), the cross-URL
+  *    content-dedup fixture (c14);
   *  - ~3% of URLs live under a /private/ path (robots fixture);
   *  - docid prefixes cycle {KARE,KORE,KSRE,WBRE,JURE} (court-map fixture,
   *    JURE → UNKNOWN);
@@ -59,9 +63,19 @@ object FrontierSynth {
         array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE")),
         (pmod(col("r1"), lit(5L)) + 1).cast("int")))
       .withColumn("docnum", pmod(col("r2"), lit(10000000L)))
+      // mirror fixture: 1/8 of the dup-class rows (per-ROW r3 draw, so the
+      // same doc_key re-drawn elsewhere stays a plain URL-dup) republish
+      // their document under a second path — same host, same docid,
+      // DIFFERENT canonical URL. These are what give the crawled corpus
+      // true cross-URL duplicate images (the content is keyed by docid,
+      // Outcomes.contentKey): the c14 phash near-dup query and any content
+      // dedup over the payload table have real work to do.
+      .withColumn("is_mirror",
+        col("id") >= freshPerEpoch && pmod(col("r3"), lit(8L)) === 0)
       .withColumn("path",
         when(pmod(col("r2"), lit(31L)) === 0, lit("/private/docs"))
-          .otherwise(lit("/jportal/docs")))
+          .otherwise(when(col("is_mirror"), lit("/jportal/mirror"))
+            .otherwise(lit("/jportal/docs"))))
       .withColumn("url_clean", format_string(
         "https://%s%s/?quelle=jlink&docid=%s%07d&psml=bsjrsprod.psml&max=true",
         col("host"), col("path"), col("prefix"), col("docnum")))

@@ -158,10 +158,27 @@ object Outcomes {
   def isBomb(urlHash: Long): Boolean =
     (ExprOps.mix(urlHash ^ 0x1c3a9df2L) & 1L) == 0L
 
-  def width(urlHash: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 3L), 25L)).toInt
-  def height(urlHash: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 4L), 25L)).toInt
+  def width(contentKey: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(contentKey ^ 3L), 25L)).toInt
+  def height(contentKey: Long): Int = 8 + (java.lang.Long.remainderUnsigned(ExprOps.mix(contentKey ^ 4L), 25L)).toInt
   def fmt(urlHash: Long): String =
     if (java.lang.Long.remainderUnsigned(ExprOps.mix(urlHash ^ 5L), 3L) == 0L) "jpg" else "png"
+
+  /** Content identity key: the DOCUMENT (docid), not the URL, determines
+    * the served pixels — so a mirror URL ([[FrontierSynth]]'s mirror
+    * fixture) serves the same image as its primary, possibly re-encoded
+    * (fmt stays a per-URL property). This is what makes cross-URL image
+    * dedup (c14 phash near-dup) a real operation instead of a vacuous one:
+    * URL-keyed content can never produce two stored images that are alike. */
+  def contentKey(docid: String): Long = {
+    var h = 0x517cc1b727220a95L
+    var i = 0
+    while (i < docid.length) { h = ExprOps.mix(h ^ docid.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** Inverse of Fetch's image_id format `"$docid-${url_hash}%016x"`. */
+  def docidOfImageId(imageId: String): String =
+    imageId.substring(0, math.max(0, imageId.length - 17))
   def caption(docid: String, host: String): String =
     s"Decision document $docid published by $host"
 }

@@ -179,6 +179,41 @@ object CrawlQueries {
     Validate.validatePayload(s.read.parquet(s"${crawlDir(s)}/payload"))
       .orderBy(col("image_id"))
 
+  /** Cross-URL image near-dup pairs over any payload frame: 64-bit
+    * perceptual-hash hamming ≤ 3 via the q26 pigeonhole multi-table
+    * blocking (4 disjoint 16-bit chunks — COMPLETE for hamming ≤ 3, per
+    * Manku et al. WWW'07; ImageDedupSpec proves equality with the
+    * brute-force pair set). Only the 8-byte (image_id, phash) projection
+    * is shuffled — payload bytes never move. Per-chunk block values span
+    * 2¹⁶, so per-block candidates stay ~n/65536 per table at any corpus
+    * size. */
+  def phashNearDupPairs(payload: DataFrame): DataFrame = {
+    val pay = payload.filter(col("status") === Status.Processed)
+      .select(col("image_id"), col("phash")).distinct()
+    val chunks = (0 until 4).map(i => struct(lit(i).as("chunk_i"),
+      shiftright(col("phash"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk_v")))
+    val tabled = pay
+      .select(col("image_id"), col("phash"), explode(array(chunks: _*)).as("c"))
+      .select(col("image_id"), col("phash"), col("c.chunk_i"), col("c.chunk_v"))
+    tabled.as("a").join(tabled.as("b"),
+        col("a.chunk_i") === col("b.chunk_i") &&
+          col("a.chunk_v") === col("b.chunk_v") &&
+          col("a.image_id") < col("b.image_id"))
+      .select(col("a.image_id").as("id_a"), col("b.image_id").as("id_b"),
+        graft.functions.SimilarityFunctions
+          .hamming64(col("a.phash"), col("b.phash")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair can match in more than one chunk table
+  }
+
+  /** c14: image content dedup over the crawled corpus — the payload-side
+    * analogue of q24/q26 (the mirror fixture guarantees real cross-URL
+    * duplicate images: same docid served at two URLs, possibly lossy
+    * re-encoded → hamming 0 for same-fmt mirrors, small for png↔jpg). */
+  def c14PhashNearDup(s: SparkSession, dir: String): DataFrame =
+    phashNearDupPairs(s.read.parquet(s"${crawlDir(s)}/payload"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */

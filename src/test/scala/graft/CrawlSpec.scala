@@ -73,21 +73,52 @@ class CrawlSpec extends SparkSpec {
   test("per-row payload invariants: decode, PSNR≥40 lossy, caption equality, phash") {
     val rows = spark.read.parquet(s"$wd/payload")
       .filter($"status" === Status.Processed)
-      .select($"bytes", $"w", $"h", $"fmt", $"caption", $"phash", $"url_hash")
+      .select($"image_id", $"bytes", $"w", $"h", $"fmt", $"caption", $"phash")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val bytes = r.getAs[Array[Byte]]("bytes")
-      val uh = r.getAs[Long]("url_hash")
+      val ck = Outcomes.contentKey(
+        Outcomes.docidOfImageId(r.getAs[String]("image_id")))
       val Some((dw, dh, dfmt, px)) = ImageCodec.decode(bytes)
       assert(dw == r.getAs[Int]("w") && dh == r.getAs[Int]("h"))
       assert(dfmt == r.getAs[String]("fmt"))
-      val src = ImageCodec.pixels(uh, dw, dh)
+      val src = ImageCodec.pixels(ck, dw, dh)
       val p = ImageCodec.psnr(src, px)
       if (dfmt == "png") assert(p.isPosInfinity) else assert(p >= 40.0)
-      assert(r.getAs[Long]("phash") == ImageCodec.phash(src, dw, dh))
+      // phash is the STORED image's hash (post-encode pixels)
+      assert(r.getAs[Long]("phash") == ImageCodec.phash(px, dw, dh))
       assert(r.getAs[String]("caption").nonEmpty)
     }
+  }
+
+  test("c14: phash near-dup pairs equal brute force; mirror pairs exist") {
+    val payload = spark.read.parquet(s"$wd/payload")
+    val got = graft.readside.CrawlQueries.phashNearDupPairs(payload)
+      .select($"id_a", $"id_b", $"hamming".cast("int"))
+      .as[(String, String, Int)].collect().toSet
+    val rows = payload.filter($"status" === Status.Processed)
+      .select($"image_id", $"phash").distinct()
+      .as[(String, Long)].collect()
+    // brute-force O(n²) hamming ≤ 3 pair set: the pigeonhole blocking must
+    // be COMPLETE, not just high-recall
+    val expect = (for {
+      i <- rows.indices.iterator
+      j <- (i + 1) until rows.length
+      h = java.lang.Long.bitCount(rows(i)._2 ^ rows(j)._2)
+      if h <= 3
+    } yield {
+      val (a, b) =
+        if (rows(i)._1 < rows(j)._1) (rows(i)._1, rows(j)._1)
+        else (rows(j)._1, rows(i)._1)
+      (a, b, h)
+    }).toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    // the mirror fixture guarantees true cross-URL duplicate images:
+    // same docid crawled at two URLs must surface as near-dup pairs
+    val mirrorPairs = got.filter { case (a, b, _) =>
+      Outcomes.docidOfImageId(a) == Outcomes.docidOfImageId(b) }
+    assert(mirrorPairs.nonEmpty, "no mirror-derived near-dup pairs found")
   }
 
   test("metrics are internally consistent and match simulator counters") {
