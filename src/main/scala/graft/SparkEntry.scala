@@ -71,7 +71,8 @@ object SparkEntry {
     "c11_image_features" -> (CrawlQueries.c11ImageFeatures _),
     "c12_bloom_store" -> (CrawlQueries.c12BloomStore _),
     "c13_validate_payload" -> (CrawlQueries.c13ValidatePayload _),
-    "c14_phash_neardup" -> (CrawlQueries.c14PhashNearDup _)
+    "c14_phash_neardup" -> (CrawlQueries.c14PhashNearDup _),
+    "c15_image_dedup_clusters" -> (CrawlQueries.c15ImageDedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

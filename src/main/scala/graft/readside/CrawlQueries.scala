@@ -214,6 +214,19 @@ object CrawlQueries {
     phashNearDupPairs(s.read.parquet(s"${crawlDir(s)}/payload"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** c15: the dedup DECISION over the crawled images — connected
+    * components (q41's min-label engine) over the c14 phash pair graph:
+    * one row per image that has at least one near-duplicate, labeled with
+    * its cluster's canonical image (min image_id) and cluster size. A
+    * training-data pipeline keeps `image_id == canonical_id` rows and
+    * drops the rest. */
+  def c15ImageDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Queries.connectedComponents(s,
+        phashNearDupPairs(s.read.parquet(s"${crawlDir(s)}/payload")))
+      .select(col("id").as("image_id"), col("rep").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy(col("image_id"))
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */

@@ -772,15 +772,25 @@ object Queries {
     * building blocks, O(log n) rounds — Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC 2014). Every round's
     * result is cache-materialized so lineage stays one round deep. */
-  def q41DedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def q41DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(s, q29CosineNearDup(s, dir))
+      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
+
+  /** Reusable min-label connected components over any (id_a, id_b) pair
+    * list (the q41 engine, also composed with the c14 image-phash pair
+    * graph as c15): returns one (id, rep, cluster_size) row per node that
+    * appears in at least one pair, rep = min id of the component. */
+  def connectedComponents(s: SparkSession, pairsIn: DataFrame): DataFrame = {
     // materialize the pair list ONCE and cut its lineage: edges references
     // pairs twice (forward + swapped) and every propagation round
     // references edges again — without the checkpoint each round's plan
-    // embeds several copies of the O(n²) pair-scan subtree (measured: OOM
+    // embeds several copies of the pair-producing subtree (measured: OOM
     // at sf0.1 from concurrent broadcast/sort copies). The pair list is
     // the dedup signal, tiny relative to the corpus; at cluster scale the
     // same cut is "write the pair table, read it back".
-    val pairs = q29CosineNearDup(s, dir).select(col("id_a"), col("id_b"))
+    val pairs = pairsIn.select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -818,19 +828,18 @@ object Queries {
     // would diverge from the recursive-CTE oracle with no error signal
     if (changed > 0)
       throw new IllegalStateException(
-        s"q41: min-label propagation did not converge in $maxRounds rounds " +
+        s"connectedComponents: min-label propagation did not converge in $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds the " +
           "cap; swap in the large-star/small-star O(log n) variant")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     val out = labels
       .join(sizes, Seq("rep"))
-      .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
-        col("cluster_size"))
+      .select(col("id"), col("rep"), col("cluster_size"))
     // scratch-parquet lineage cut instead of collect+createDataFrame: the
     // labeled node set is NOT small relative to the corpus on a high-dup
     // corpus — never materialize it on the driver
     val result = materialize(s, out)
     edges.unpersist(); labels.unpersist()
-    result.orderBy(col("vec_id"))
+    result
   }
 }

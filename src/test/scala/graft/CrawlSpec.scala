@@ -121,6 +121,32 @@ class CrawlSpec extends SparkSpec {
     assert(mirrorPairs.nonEmpty, "no mirror-derived near-dup pairs found")
   }
 
+  test("c15: image dedup clusters equal union-find over the c14 pair graph") {
+    val payload = spark.read.parquet(s"$wd/payload")
+    val pairs = graft.readside.CrawlQueries.phashNearDupPairs(payload)
+    val got = graft.readside.Queries.connectedComponents(spark, pairs)
+      .select($"id", $"rep", $"cluster_size")
+      .as[(String, String, Long)].collect().toSet
+    // independent oracle: driver-side union-find with min-id roots
+    val es = pairs.select($"id_a", $"id_b").as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val comps = es.toSeq.flatMap(t => Seq(t._1, t._2)).distinct.groupBy(find)
+    val expect = comps.toSeq.flatMap { case (_, ns) =>
+      val rep = ns.min
+      ns.map(n => (n, rep, ns.length.toLong))
+    }.toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    assert(got.nonEmpty)
+  }
+
   test("metrics are internally consistent and match simulator counters") {
     metrics.foreach { m =>
       assert(m.n_candidates ===
