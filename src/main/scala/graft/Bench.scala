@@ -40,6 +40,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // dictionary-encoding the columnar cache was a measured hotspot
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // no per-file chmod forks / .crc siblings (graft.fs.FastLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl", classOf[graft.fs.FastLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
     fastTmp().foreach { base =>
       Files.createDirectories(java.nio.file.Paths.get(s"$base/local"))

@@ -28,6 +28,13 @@ object CrawlBench {
       // dictionary-encoding the columnar cache was a measured hotspot
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
+    // kill Hadoop's per-file chmod fork + .crc sibling (see
+    // graft.fs.FastLocalFileSystem — a cluster committer never forks);
+    // SPARK_GRAFT_LOCAL_FS=default is the ablation knob (measured
+    // /proc/stat forks: 32.7k → 0.8k per 4M-URL run)
+    if (!sys.env.get("SPARK_GRAFT_LOCAL_FS").contains("default"))
+      builder.config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastLocalFileSystem].getName)
     // shuffle dirs on tmpfs too: disk-backed spark.local.dir capped
     // local[32] at −40% in round-1 measurements (the sink workDir below
     // alone doesn't cover shuffle spill/blockmgr files)

@@ -137,4 +137,22 @@ class PlanSpec extends SparkSpec {
     // shuffle — the dedup's free map-side combine
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
   }
+
+  test("c14: pair blocking scans only slim columns; payload bytes never read or shuffled") {
+    import org.apache.spark.sql.functions._
+    val wd = java.nio.file.Files.createTempDirectory("plan-c14").toString
+    spark.range(64).select(
+      format_string("img-%03d", col("id")).as("image_id"),
+      xxhash64(col("id")).as("phash"),
+      lit("PROCESSED").as("status"),
+      lit(Array[Byte](1, 2, 3)).as("bytes"))
+      .write.parquet(s"$wd/payload")
+    val p = plan(graft.readside.CrawlQueries.phashNearDupPairs(
+      spark.read.parquet(s"$wd/payload")))
+    assert(p.contains("PushedFilters: [IsNotNull(status), EqualTo(status,PROCESSED)]")
+      || p.contains("EqualTo(status,PROCESSED)"), "status filter must push down")
+    assert(p.contains("image_id") && p.contains("phash"))
+    assert(!p.contains("bytes"),
+      "payload bytes must not appear anywhere in the pair plan")
+  }
 }
