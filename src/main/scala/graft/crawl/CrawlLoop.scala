@@ -307,7 +307,7 @@ object CrawlLoop {
       (0 until cfg.buckets).filter(b =>
         fs.exists(new Path(s"${cfg.workDir}/payload/host_bucket=$b/crawl_epoch=$epoch")))
     }
-    val written = {
+    val writtenFull = {
       val leaves = touchedBuckets
         .map(b => s"${cfg.workDir}/payload/host_bucket=$b/crawl_epoch=$epoch")
       if (leaves.isEmpty)
@@ -316,6 +316,18 @@ object CrawlLoop {
       else spark.read.option("basePath", s"${cfg.workDir}/payload")
         .parquet(leaves: _*)
     }
+    // ONE slim read shared by every post-write consumer (lineage, latest
+    // delta, seen delta, retry keys, result metrics). Re-reading the
+    // epoch's parquet per consumer was 5x the per-file reader setup —
+    // and parquet reader construction clones the shared hadoop
+    // Configuration under ITS lock (new JobConf per file), the top
+    // BLOCKED monitor in 32-core stack samples once the chmod forks were
+    // gone. The slim projection (6 narrow columns, no payload bytes) is
+    // cheap to cache; the binaries still never enter the block manager.
+    val written = writtenFull
+      .select(col("url_hash"), col("status"), col("n_bytes"), col("host"),
+        col("host_bucket"), col("crawl_epoch"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
     store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
@@ -398,6 +410,7 @@ object CrawlLoop {
       count(when(col("status") === Status.Rejected, 1)).as("r"),
       coalesce(sum(col("n_bytes")), lit(0L)).as("b"),
       countDistinct(col("host")).as("h")).head() // job 2 (the writes are their own jobs)
+    written.unpersist()
     val durationMs = (System.nanoTime() - tEpoch0) / 1000000L
     // A8/A9/A11 derived metrics (BulkCrawlProgress.java:254-329 analogue):
     // rate over this epoch, % of the configured frontier consumed, ETA for
