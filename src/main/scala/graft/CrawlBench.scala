@@ -19,8 +19,16 @@ object CrawlBench {
     val shufflePartitions = if (args.length > 2) args(2).toInt else cores * 2
     val numHosts = if (args.length > 3) args(3).toInt else 4000
     val budget = if (args.length > 4) args(4).toInt else 1500
+    // SPARK_GRAFT_MASTER overrides the master URL — the multi-executor
+    // evidence knob: `local-cluster[N,cores,memMB]` launches N REAL
+    // executor JVMs (own heap, own UnifiedMemoryManager, own GC), which
+    // is the north rule's literal "N and 4N executors" shape and removes
+    // the single-JVM artifact where all 32 threads convoy on one memory-
+    // manager monitor. `cores` stays the TOTAL core count for the
+    // urls_per_sec denominator and shuffle sizing.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val builder = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(s"graft-crawl-bench-$cores")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,9 +84,16 @@ object CrawlBench {
     // the latest-view maintenance cost); benched/recorded runs keep the
     // default-on path — the upsert reader is part of the engine contract.
     val maintainLatest = sys.env.get("SPARK_GRAFT_MAINTAIN_LATEST").forall(_ != "0")
+    // SPARK_GRAFT_MAX_SEEN_FRAC: ablation knob for the seen-confirm join
+    // shape — 0 forces the cogrouped two-tier (fully distributed, no
+    // driver-sized broadcasts), 1 forces the inverted broadcast confirm.
+    // Multi-executor masters pay broadcast cost per EXECUTOR copy, so the
+    // crossover differs from single-JVM local mode.
+    val maxSeenFrac = sys.env.get("SPARK_GRAFT_MAX_SEEN_FRAC")
+      .map(_.toDouble).getOrElse(0.5)
     val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = 2,
       numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L,
-      maintainLatest = maintainLatest)
+      maintainLatest = maintainLatest, maxSeenFracForBroadcast = maxSeenFrac)
     val t0 = System.nanoTime()
     val metrics = CrawlLoop.run(spark, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
