@@ -58,6 +58,7 @@ object SparkEntry {
     "q39_ngram_jaccard" -> (Queries.q39NgramJaccard _),
     "q40_curation_pipeline" -> (Queries.q40CurationPipeline _),
     "q41_dedup_clusters" -> (Queries.q41DedupClusters _),
+    "q42_contamination" -> (Queries.q42Contamination _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),
@@ -72,7 +73,8 @@ object SparkEntry {
     "c12_bloom_store" -> (CrawlQueries.c12BloomStore _),
     "c13_validate_payload" -> (CrawlQueries.c13ValidatePayload _),
     "c14_phash_neardup" -> (CrawlQueries.c14PhashNearDup _),
-    "c15_image_dedup_clusters" -> (CrawlQueries.c15ImageDedupClusters _)
+    "c15_image_dedup_clusters" -> (CrawlQueries.c15ImageDedupClusters _),
+    "c16_multimodal_consensus" -> (CrawlQueries.c16MultimodalConsensus _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

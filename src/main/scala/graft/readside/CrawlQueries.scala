@@ -227,6 +227,47 @@ object CrawlQueries {
         col("cluster_size"))
       .orderBy(col("image_id"))
 
+  /** Multimodal CONSENSUS near-dup pairs: image-evidence pairs (c14 phash
+    * hamming ≤ 3) confirmed by the caption modality before the dedup
+    * decision — a mirror re-encode keeps its caption, while an incidental
+    * 64-bit phash collision between different documents does not.
+    * Confirmation = exact caption equality (the north-rule per-row
+    * invariant) OR caption token-set Jaccard ≥ 0.9 (tolerates trivial
+    * whitespace/punct edits a re-serving host might introduce).
+    *
+    * Scale shape: the pair list is SPARSE relative to the corpus, so it
+    * broadcasts against the slim (image_id, caption-token) projection —
+    * captions annotate map-side in two broadcast joins, the payload scan
+    * never shuffles, image bytes never move. */
+  def multimodalConsensusPairs(payload: DataFrame): DataFrame = {
+    val caps = payload.filter(col("status") === Status.Processed)
+      .select(col("image_id"), col("caption"),
+        graft.expressions.GraftFunctions.wordNgramHashes(col("caption"), 1).as("toks"))
+      .distinct()
+    val pairs = phashNearDupPairs(payload)
+    val annA = caps.select(col("image_id").as("id_a"),
+      col("caption").as("cap_a"), col("toks").as("toks_a"))
+    val annB = caps.select(col("image_id").as("id_b"),
+      col("caption").as("cap_b"), col("toks").as("toks_b"))
+    val annotated = annA.join(broadcast(pairs), Seq("id_a")) // pair-sized
+    annB.join(broadcast(annotated), Seq("id_b"))             // pair-sized
+      .withColumn("caption_equal", col("cap_a") === col("cap_b"))
+      .withColumn("jacc_x1e4",
+        (size(array_intersect(col("toks_a"), col("toks_b"))) * lit(10000L) /
+          size(array_union(col("toks_a"), col("toks_b")))).cast("bigint"))
+      .filter(col("caption_equal") || col("jacc_x1e4") >= 9000L)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("caption_equal"), col("jacc_x1e4"))
+  }
+
+  /** c16: the multimodal dedup DECISION — consensus pairs (image + caption
+    * agreement) over the crawled corpus, ordered for the rows-only gate;
+    * CrawlSpec proves the set equals the caption-confirmed subset of the
+    * c14 pair set and that mirror-fixture pairs survive. */
+  def c16MultimodalConsensus(s: SparkSession, dir: String): DataFrame =
+    multimodalConsensusPairs(s.read.parquet(s"${crawlDir(s)}/payload"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */

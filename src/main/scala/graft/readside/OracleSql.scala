@@ -431,6 +431,30 @@ object OracleSql {
       FROM labels l
       JOIN (SELECT cluster_rep, count(*) AS cluster_size
             FROM labels GROUP BY cluster_rep) s USING (cluster_rep)
-      ORDER BY l.vec_id"""
+      ORDER BY l.vec_id""",
+
+    // decontamination: string word-4-grams on the oracle side vs hashed
+    // grams on the Spark side (same pairing as q39 — counts agree absent
+    // 64-bit hash collisions). Normalization mirrors ExprOps
+    // .wordNgramHashes: lowercase, collapse \s+ runs, trim; <4 tokens →
+    // the whole text is the single gram.
+    "q42_contamination" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(t) - 2),
+                           i -> array_to_string(t[i:i+3], ' '))) END AS ngs
+        FROM toks),
+      g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 17 = 3)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM g JOIN bench USING (ng)
+      WHERE g.doc_id % 17 <> 3
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""
   )
 }

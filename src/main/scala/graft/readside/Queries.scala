@@ -778,6 +778,35 @@ object Queries {
         col("cluster_size"))
       .orderBy(col("vec_id"))
 
+  /** q42: benchmark DECONTAMINATION — the training-data hygiene pass that
+    * flags corpus documents sharing word n-grams with a held-out eval set
+    * (the standard n-gram-overlap contamination check, e.g. GPT-3 App. C /
+    * Llama eval decontamination). The "benchmark" here is a deterministic
+    * slice of the documents table (doc_id % 17 == 3 — stored rows, not
+    * synthesized text); a corpus doc is contaminated if any of its
+    * distinct word 4-grams appears in any benchmark doc.
+    *
+    * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (eval
+    * suites are fixed-size regardless of corpus scale), so it broadcasts;
+    * the corpus side is one scan whose exploded hashed n-grams hit the
+    * broadcast hash table map-side — corpus text never shuffles, and the
+    * only exchange is the per-doc count of MATCHED grams (sparse). Same
+    * hashed-gram trick as q39: Spark joins 64-bit FNV gram hashes, the
+    * DuckDB oracle joins the gram STRINGS — counts agree absent hash
+    * collisions (FunctionsSpec pins hash≡string gram equivalence). */
+  def q42Contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordNgramHashes(col("text"), 4)).as("ng"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(17)) === 3)
+      .select(col("ng")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .join(broadcast(bench), Seq("ng")) // grams are distinct per doc
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

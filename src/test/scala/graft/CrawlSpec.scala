@@ -147,6 +147,35 @@ class CrawlSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("c16: multimodal consensus equals caption-confirmed subset of c14 pairs") {
+    val payload = spark.read.parquet(s"$wd/payload")
+    val got = graft.readside.CrawlQueries.multimodalConsensusPairs(payload)
+      .select($"id_a", $"id_b").as[(String, String)].collect().toSet
+    // independent confirmation oracle: annotate the c14 pair set with
+    // captions driver-side, keep pairs with equal captions or token-set
+    // jaccard >= 0.9 (same predicate, string tokens instead of hashes)
+    val caps = payload.filter($"status" === Status.Processed)
+      .select($"image_id", $"caption").distinct()
+      .as[(String, String)].collect().toMap
+    def toks(c: String): Set[String] =
+      c.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val c14 = graft.readside.CrawlQueries.phashNearDupPairs(payload)
+      .select($"id_a", $"id_b").as[(String, String)].collect().toSet
+    val expect = c14.filter { case (a, b) =>
+      val (ca, cb) = (caps(a), caps(b))
+      val (ta, tb) = (toks(ca), toks(cb))
+      ca == cb || (ta.intersect(tb).size * 10000L / ta.union(tb).size) >= 9000L
+    }
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(got.nonEmpty, "no consensus pairs — mirror fixture missing?")
+    // every consensus pair is a true content duplicate: same docid
+    got.foreach { case (a, b) =>
+      assert(Outcomes.docidOfImageId(a) == Outcomes.docidOfImageId(b),
+        s"consensus pair with different docids: $a / $b")
+    }
+  }
+
   test("metrics are internally consistent and match simulator counters") {
     metrics.foreach { m =>
       assert(m.n_candidates ===

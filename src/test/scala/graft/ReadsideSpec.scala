@@ -56,6 +56,28 @@ class ReadsideSpec extends SparkSpec {
       s"blocking incomplete/unsound: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
   }
 
+  test("q42 contamination equals the brute-force n-gram-overlap check") {
+    // independent oracle: plain Scala string 4-grams with the same
+    // normalization as ExprOps.wordNgramHashes (lowercase, \s+-split,
+    // <4 tokens -> whole text as the single gram)
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 4) Set(t.mkString(" "))
+      else t.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bench = docs.filter(_._1 % 17 == 3).flatMap(d => grams(d._2)).toSet
+    val expect = docs.filter(_._1 % 17 != 3)
+      .map { case (id, tx) => (id, grams(tx).count(bench.contains).toLong) }
+      .filter(_._2 > 0).toMap
+    val got = SparkEntry.queries("q42_contamination")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect,
+      s"mismatch: missing=${(expect.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expect.keySet).take(3)}")
+  }
+
   test("q27 minhash-LSH finds pairs that exact jaccard confirms (no junk)") {
     val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
     // every emitted pair already re-verified >= 0.35 by construction;
