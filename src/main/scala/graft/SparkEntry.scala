@@ -59,6 +59,7 @@ object SparkEntry {
     "q40_curation_pipeline" -> (Queries.q40CurationPipeline _),
     "q41_dedup_clusters" -> (Queries.q41DedupClusters _),
     "q42_contamination" -> (Queries.q42Contamination _),
+    "q43_stratified_sample" -> (Queries.q43StratifiedSample _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

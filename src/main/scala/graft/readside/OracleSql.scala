@@ -455,6 +455,15 @@ object OracleSql {
       FROM g JOIN bench USING (ng)
       WHERE g.doc_id % 17 <> 3
       GROUP BY g.doc_id
-      ORDER BY g.doc_id"""
+      ORDER BY g.doc_id""",
+
+    "q43_stratified_sample" -> """
+      WITH r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        FROM documents)
+      SELECT doc_id, source, rn FROM r
+      WHERE (rn - 1) % 7 = 0
+      ORDER BY doc_id"""
   )
 }

@@ -807,6 +807,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q43: STRATIFIED sampling — deterministic 1-in-7 per SOURCE stratum
+    * by doc_id rank, the corpus-mixing primitive q33's global stride
+    * can't give: every stratum is represented (rank 1 always kept) and
+    * each contributes ceil(n_g/7) rows, so small sources aren't washed
+    * out by large ones. Scale shape: one shuffle on the stratum key +
+    * a streamed rank — no driver state; a stratum bigger than one
+    * partition's memory is fine (window ranks stream), and a pathological
+    * single mega-stratum degrades to q33's global-stride shape (where
+    * per-stratum exactness is vacuous anyway). */
+  def q43StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(pmod(col("rn") - 1, lit(7)) === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

@@ -63,6 +63,24 @@ class PlanSpec extends SparkSpec {
       "composition must not rescan the corpus")
   }
 
+  test("q42: benchmark gram set broadcasts; corpus grams never shuffle") {
+    val p = plan(Queries.q42Contamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "bench gram set must broadcast")
+    // the only hash exchange is the per-doc matched-gram count — its key
+    // is doc_id, never the gram stream or document text
+    assert(!p.contains("hashpartitioning(ng"),
+      "corpus gram stream must not shuffle")
+    assert(!p.contains("keys=[text"), "document text must never be a key")
+    assert(p.contains("partial_count"), "map-side partial agg expected")
+  }
+
+  test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
+    val p = plan(Queries.q43StratifiedSample(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "scan must prune to the stratum key + id")
+    assert(p.contains("row_number"), "per-stratum rank expected")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))

@@ -78,6 +78,18 @@ class ReadsideSpec extends SparkSpec {
         s"extra=${(got.keySet -- expect.keySet).take(3)}")
   }
 
+  test("q43 stratified sample: every stratum represented with ceil(n_g/7) rows") {
+    val perSource = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("q43_stratified_sample")(spark, dir)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == perSource.keySet, "a stratum is missing from the sample")
+    perSource.foreach { case (src, n) =>
+      val want = (n + 6) / 7 // ceil(n/7): ranks 1, 8, 15, ...
+      assert(got(src) == want, s"stratum $src: got ${got(src)}, want $want of $n")
+    }
+  }
+
   test("q27 minhash-LSH finds pairs that exact jaccard confirms (no junk)") {
     val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
     // every emitted pair already re-verified >= 0.35 by construction;
