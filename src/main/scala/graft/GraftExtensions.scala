@@ -101,6 +101,15 @@ object GraftExtensions {
         case Seq(c, n) => WordNgramHashes64Expr(c,
           intLit(n, "graft_word_ngram_hashes64", "n"))
         case as        => arity("graft_word_ngram_hashes64", as.size, "1 or 2")
+      }),
+    (FunctionIdentifier("graft_ngram_max_count"),
+      desc("graft_ngram_max_count", classOf[NgramMaxCountExpr],
+        "graft_ngram_max_count(text[, n]) - max occurrence count of any word n-gram (repetition signal; default n=2)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => NgramMaxCountExpr(c, 2)
+        case Seq(c, n) => NgramMaxCountExpr(c,
+          intLit(n, "graft_ngram_max_count", "n"))
+        case as        => arity("graft_ngram_max_count", as.size, "1 or 2")
       }))
 
   /** Register every graft function on an already-built session. */

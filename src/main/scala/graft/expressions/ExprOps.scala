@@ -195,6 +195,53 @@ object ExprOps {
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** Max occurrence count of any word n-gram in the normalized text
+    * (same tokenization as [[wordNgramHashes]]) — the Gopher/C4-style
+    * repetition signal: a doc whose most common 2-gram covers a large
+    * fraction of it is boilerplate/spam. Counts OCCURRENCES (not the
+    * distinct set); fewer than n tokens → the whole text is one gram,
+    * count 1. Collisions of the 64-bit gram hash could only ever
+    * overcount, and at 64 bits are nil at any document length. */
+  def ngramMaxCount(text: UTF8String, n: Int): Long = {
+    val lower = text.toLowerCase.getBytes
+    val buf = new Array[Byte](lower.length)
+    var m = 0
+    var i = 0
+    var inWs = true // leading ws dropped
+    while (i < lower.length) {
+      val b = lower(i)
+      if (isWs(b)) { if (!inWs && m > 0) { buf(m) = ' '; m += 1 }; inWs = true }
+      else { buf(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    if (m > 0 && buf(m - 1) == ' ') m -= 1
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    i = 0
+    while (i < m) { if (buf(i) == ' ') starts += i + 1; i += 1 }
+    val nTok = if (m == 0) 0 else starts.length
+    if (nTok < n) return 1L
+    val nGrams = nTok - n + 1
+    var cap = 4
+    while (cap < nGrams * 2) cap <<= 1
+    val table = new Array[Long](cap) // open addressing; 0 = empty slot
+    val counts = new Array[Long](cap)
+    var best = 0L
+    i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = if (i + n < nTok) starts(i + n) - 1 else m
+      var h = fnv64(buf, from, until)
+      if (h == 0L) h = 1L
+      var idx = (mix(h) & (cap - 1)).toInt
+      while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & (cap - 1)
+      table(idx) = h
+      counts(idx) += 1L
+      if (counts(idx) > best) best = counts(idx)
+      i += 1
+    }
+    best
+  }
+
   /** Sign-random-projection LSH bucket for a float embedding: `nBits`
     * deterministic hash-derived hyperplanes; sign bits packed to a long.
     * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */

@@ -84,6 +84,19 @@ case class WordNgramHashes64Expr(child: Expression, n: Int)
   override def prettyName: String = "word_ngram_hashes64"
 }
 
+case class NgramMaxCountExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.ngramMaxCount(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.ngramMaxCount($c, $n);")
+  override protected def withNewChildInternal(c: Expression): NgramMaxCountExpr =
+    copy(child = c)
+  override def prettyName: String = "ngram_max_count"
+}
+
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -117,4 +130,7 @@ object GraftFunctions {
 
   def wordNgramHashes(text: Column, n: Int = 3): Column =
     Bridge.column(WordNgramHashes64Expr(Bridge.expression(text), n))
+
+  def ngramMaxCount(text: Column, n: Int = 2): Column =
+    Bridge.column(NgramMaxCountExpr(Bridge.expression(text), n))
 }

@@ -464,6 +464,30 @@ object OracleSql {
         FROM documents)
       SELECT doc_id, source, rn FROM r
       WHERE (rn - 1) % 7 = 0
+      ORDER BY doc_id""",
+
+    // repetition: relational string-bigram occurrence counts vs the
+    // Spark-side native counting expression (same tokenization contract
+    // as q42's grams; <2 tokens → whole text is one gram, count 1)
+    "q44_repetition_stats" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      big AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t)),
+                           i -> array_to_string(t[i:i+1], ' ')) END AS bgs
+        FROM toks),
+      g AS (SELECT doc_id, n_tokens, unnest(bgs) AS bg FROM big),
+      cnts AS (
+        SELECT doc_id, n_tokens, bg, count(*) AS c
+        FROM g GROUP BY doc_id, n_tokens, bg)
+      SELECT doc_id, n_tokens, CAST(max(c) AS BIGINT) AS max_bigram_n,
+             (max(c) * 10 >= n_tokens) AS repetitive
+      FROM cnts
+      GROUP BY doc_id, n_tokens
       ORDER BY doc_id"""
   )
 }

@@ -825,6 +825,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q44: REPETITION detection — the Gopher/C4-style curation rule that
+    * flags boilerplate/spam by the occurrence count of the most common
+    * word 2-gram (a doc whose top bigram covers ≳20% of its tokens is
+    * template noise, not prose). Pure per-row map over a native codegen
+    * expression ([[GraftFunctions.ngramMaxCount]]) — no shuffle, no
+    * exploded token stream; integer outputs so the DuckDB parity (which
+    * counts string bigrams relationally) never touches float rounding. */
+  def q44RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(norm, " ")).cast("bigint").as("n_tokens"),
+        GraftFunctions.ngramMaxCount(col("text"), 2).as("max_bigram_n"))
+      .withColumn("repetitive", col("max_bigram_n") * 10 >= col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

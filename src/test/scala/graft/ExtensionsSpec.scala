@@ -32,14 +32,16 @@ class ExtensionsSpec extends SparkSpec {
         GraftFunctions.simhash64(col("text")).as("sh"),
         GraftFunctions.rollingFingerprint(col("text"), 16).as("fp"),
         GraftFunctions.shingleHashes(col("text"), 5).as("shg"),
-        GraftFunctions.wordNgramHashes(col("text"), 3).as("ng"))
+        GraftFunctions.wordNgramHashes(col("text"), 3).as("ng"),
+        GraftFunctions.ngramMaxCount(col("text"), 2).as("mbc"))
       .orderBy("doc_id").collect()
     val sql = spark.sql(
       """SELECT doc_id,
         |       graft_simhash64(text)               AS sh,
         |       graft_rolling_fingerprint(text, 16) AS fp,
         |       graft_shingle_hashes64(text, 5)     AS shg,
-        |       graft_word_ngram_hashes64(text, 3)  AS ng
+        |       graft_word_ngram_hashes64(text, 3)  AS ng,
+        |       graft_ngram_max_count(text, 2)      AS mbc
         |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
     assert(api.length == sql.length && api.length > 0)
     api.zip(sql).foreach { case (a, b) => assert(a == b) }

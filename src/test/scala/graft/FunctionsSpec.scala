@@ -185,6 +185,31 @@ class FunctionsSpec extends SparkSpec {
     assert(jh > 0.3 && jh < 1.0)
   }
 
+  test("ngramMaxCount ≡ brute-force bigram occurrence count; edge cases") {
+    def brute(text: String, n: Int): Long = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) 1L
+      else t.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+    }
+    val cases = Seq(
+      "the cat sat on the cat sat mat",
+      "a a a a a a",                       // max bigram "a a" = 5
+      "one two",                           // exactly n tokens → count 1
+      "single",                            // < n tokens → whole text, 1
+      "  weird   spacing\t\tand  CASE Case case  ",
+      "x y x y x y x y z")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .withColumn("mbc", GraftFunctions.ngramMaxCount($"text", 2))
+    df.select($"id", $"mbc").as[(Long, Long)].collect().foreach {
+      case (i, got) =>
+        assert(got == brute(cases(i.toInt), 2),
+          s"case $i '${cases(i.toInt)}': got $got want ${brute(cases(i.toInt), 2)}")
+    }
+    assert(brute(cases(1), 2) == 5L) // sanity on the oracle itself
+  }
+
   test("shingles, minhash, lsh bands, jaccard") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
