@@ -45,6 +45,27 @@ class FiltersSpec extends AnyFunSuite {
     assert(g.numBits == f.numBits && g.numHashes == f.numHashes)
   }
 
+  test("bloom: 10^10-frontier sizing arithmetic stays task-sized per bucket") {
+    // the north-rule design point: 10^10 URLs sharded over 4096
+    // host_buckets at fpp 0.01 → each bucket's segment must be a small,
+    // independently loadable unit (one per task in the cogrouped two-tier
+    // probe; broadcast only when the WHOLE store fits). Pin the formula:
+    // m = -n ln(fpp)/ln(2)^2 ≈ 9.585 bits/key at 0.01.
+    val buckets = 4096
+    val perBucket = 10000000000L / buckets // ≈ 2.44M keys
+    val f = graft.seen.LongBloom.create(perBucket, 0.01)
+    val bytes = f.serialize().length.toLong
+    assert(bytes < 8L * 1024 * 1024,
+      s"segment is $bytes B — no longer task-sized at the design point")
+    assert(bytes > perBucket, "suspiciously small — fpp math broken")
+    // k near the optimum (m/n ln2 ≈ 6.64 → 7 hashes)
+    assert(f.numHashes >= 5 && f.numHashes <= 9, s"k=${f.numHashes}")
+    // total store ≈ buckets × segment ≈ 12 GB: NOT broadcastable — the
+    // cogrouped per-bucket variant (SeenSet.unseenTwoTier) must exist for
+    // this regime; this assert documents the threshold arithmetic.
+    assert(bytes * buckets.toLong > 8L * 1024 * 1024 * 1024)
+  }
+
   test("cuckoo: insert/contains, no false negatives at 90% load") {
     val n = 10000
     val f = CuckooFilter.create(n)
