@@ -61,6 +61,7 @@ object SparkEntry {
     "q42_contamination" -> (Queries.q42Contamination _),
     "q43_stratified_sample" -> (Queries.q43StratifiedSample _),
     "q44_repetition_stats" -> (Queries.q44RepetitionStats _),
+    "q45_unigram_xent" -> (Queries.q45UnigramXent _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -488,6 +488,25 @@ object OracleSql {
              (max(c) * 10 >= n_tokens) AS repetitive
       FROM cnts
       GROUP BY doc_id, n_tokens
+      ORDER BY doc_id""",
+
+    // unigram cross-entropy quality score: same tokenization as q44;
+    // c/t divides BIGINT by BIGINT → DOUBLE in both engines; ×10⁴ with
+    // explicit half-up floor (q23 convention). The Spark side's
+    // broadcast-head/shuffle-tail vocabulary join is a pure execution
+    // strategy — row-for-row it is the plain token→count join below.
+    "q45_unigram_xent" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+      cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      tot AS (SELECT sum(c) AS t FROM cnt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(floor(-avg(ln(c / t)) * 10000 + 0.5) AS BIGINT) AS xent_e4
+      FROM tok JOIN cnt USING (w) CROSS JOIN tot
+      GROUP BY doc_id
       ORDER BY doc_id"""
   )
 }

@@ -842,6 +842,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q45: unigram cross-entropy vs the corpus's own LM — the classic
+    * perplexity-proxy quality filter (CCNet/Gopher-style: a document whose
+    * tokens are improbable under the corpus unigram distribution is noise
+    * or out-of-domain). Two aggregate passes: global word counts, then a
+    * token→count join folded per document into −avg(ln(c/total)).
+    *
+    * Scale shape: the token→vocabulary join is Zipf-skewed — a handful of
+    * stopwords carry most of the token mass. Rather than shuffling the
+    * full exploded token stream on `w` (and relying on AQE skew splits),
+    * the join is split: the top-64k head of the vocabulary (covering
+    * almost all token instances) is BROADCAST, and only rare-word tokens
+    * take the shuffle path — the wide exchange carries the Zipf tail,
+    * a small fraction of the stream. Head size is a constant because the
+    * head's coverage is a property of the distribution, not the corpus
+    * size. Output integer-scaled ×10⁴ (explicit half-up floor, q23
+    * convention) so the DuckDB parity never rides a round(double) tie. */
+  def q45UnigramXent(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // tok is deliberately NOT cached: it appears in both join branches,
+    // and a scan+split+explode re-run is cheaper at scale than caching a
+    // full token stream (memory bandwidth is the measured ceiling).
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c")).as("t"))
+    val head = cnt.orderBy(col("c").desc, col("w")).limit(65536)
+    val headHit = tok.join(broadcast(head), Seq("w"))
+    val tailHit = tok
+      .join(broadcast(head.select(col("w"))), Seq("w"), "left_anti")
+      .join(cnt, Seq("w"))
+    headHit.unionByName(tailHit)
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_toks"),
+        floor(-avg(log(col("c") / col("t"))) * 10000 + 0.5)
+          .cast("bigint").as("xent_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

@@ -81,6 +81,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number"), "per-stratum rank expected")
   }
 
+  test("q45: vocabulary head joins broadcast; only the Zipf tail shuffles on w") {
+    val p = plan(Queries.q45UnigramXent(spark, dir))
+    // head hit + head anti-membership + the 1-row total: all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "head vocab join and anti-join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("Cross"),
+      "the 1-row corpus total joins without an exchange on the stream")
+    // the document text itself is never a join or partitioning key
+    assert(!p.contains("keys=[text"), "document text must never be a key")
+    assert(p.contains("partial_count"), "map-side partial agg expected")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))

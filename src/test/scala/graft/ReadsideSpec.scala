@@ -114,6 +114,26 @@ class ReadsideSpec extends SparkSpec {
       s"recall too low: ${ivf.toSet.intersect(exact).size}/10")
   }
 
+  test("q45 head/tail vocabulary split equals the plain single-join form") {
+    // the broadcast-head + shuffle-tail decomposition is pure execution
+    // strategy: row-for-row it must equal the naive token→count join.
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val naive = tok.join(cnt, Seq("w"))
+      .crossJoin(cnt.agg(sum(col("c")).as("t")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_toks"),
+        floor(-avg(log(col("c") / col("t"))) * 10000 + 0.5)
+          .cast("bigint").as("xent_e4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val split45 = SparkEntry.queries("q45_unigram_xent")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(split45 == naive)
+  }
+
   test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
     val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
