@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_stratified_sample" -> (Queries.q43StratifiedSample _),
     "q44_repetition_stats" -> (Queries.q44RepetitionStats _),
     "q45_unigram_xent" -> (Queries.q45UnigramXent _),
+    "q46_bm25_search" -> (Queries.q46Bm25Search _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

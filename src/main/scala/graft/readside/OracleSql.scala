@@ -507,6 +507,39 @@ object OracleSql {
              CAST(floor(-avg(ln(c / t)) * 10000 + 0.5) AS BIGINT) AS xent_e4
       FROM tok JOIN cnt USING (w) CROSS JOIN tot
       GROUP BY doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // BM25 over the fixed 3-term query; same tokenization as q44/q45.
+    // Term frequency = len(arr) − len(arr without the term), mirroring
+    // the Spark side's array_remove counting; contributions summed in
+    // the same written order; ORDER BY + LIMIT cut on the ×10⁴ INTEGER
+    // with doc_id tiebreak so the boundary never compares doubles.
+    "q46_bm25_search" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+               CAST(len(list_filter(t, x -> x <> '')) AS DOUBLE) AS dl,
+               CAST(len(t) - len(list_filter(t, x -> x <> 'spark')) AS DOUBLE) AS f0,
+               CAST(len(t) - len(list_filter(t, x -> x <> 'window')) AS DOUBLE) AS f1,
+               CAST(len(t) - len(list_filter(t, x -> x <> 'vector')) AS DOUBLE) AS f2
+        FROM d),
+      g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+               CAST(count(*) FILTER (WHERE f0 > 0) AS DOUBLE) AS df0,
+               CAST(count(*) FILTER (WHERE f1 > 0) AS DOUBLE) AS df1,
+               CAST(count(*) FILTER (WHERE f2 > 0) AS DOUBLE) AS df2
+        FROM p)
+      SELECT doc_id, CAST(floor((
+               ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (f0 * 2.2) / (f0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (f1 * 2.2) / (f1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (f2 * 2.2) / (f2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ) * 10000 + 0.5) AS BIGINT) AS bm25_e4
+      FROM p CROSS JOIN g
+      WHERE f0 + f1 + f2 > 0
+      ORDER BY bm25_e4 DESC, doc_id
+      LIMIT 20"""
   )
 }

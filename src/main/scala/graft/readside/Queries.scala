@@ -882,6 +882,53 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q46: BM25 relevance ranking — the analogue of the reference's
+    * Solr-scored search (SolrDocumentRepository queries rank by Lucene
+    * BM25; the engine's q17 was only a boolean LIKE filter). Fixed
+    * 3-term query; Lucene's idf form ln((N−df+0.5)/(df+0.5)+1), k1=1.2,
+    * b=0.75.
+    *
+    * Scale shape — ZERO wide exchanges: per-document term frequencies and
+    * document length are computed INLINE on the row (array ops over the
+    * split token array — no explode, the token stream never exists as
+    * rows, nothing shuffles on a word key); corpus stats (N, avgdl, per-
+    * term df) are ONE scalar aggregate broadcast back; ranking is
+    * orderBy+limit → TakeOrderedAndProject (map-side partial top-k, no
+    * global sort). Two slim (doc_id, text) scans — a second scan beats
+    * materializing a per-doc side table at corpus scale. Integer-scaled
+    * ×10⁴ score, ordered and CUT by the integer (both engines), so the
+    * top-k boundary never rides a double comparison. */
+  def q46Bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "vector")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = split(norm, " ")
+    // occurrences of `term` = |arr| − |arr without term| (array_remove)
+    def f(term: String) =
+      (size(toks) - size(array_remove(toks, term))).cast("double")
+    val perdoc = t(s, dir, "documents").select(
+      col("doc_id"),
+      size(array_remove(toks, "")).cast("double").as("dl"),
+      f(terms(0)).as("f0"), f(terms(1)).as("f1"), f(terms(2)).as("f2"))
+    val glob = perdoc.agg(
+      count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
+      count(when(col("f0") > 0, 1)).cast("double").as("df0"),
+      count(when(col("f1") > 0, 1)).cast("double").as("df1"),
+      count(when(col("f2") > 0, 1)).cast("double").as("df2"))
+    def contrib(fc: org.apache.spark.sql.Column,
+        dfc: org.apache.spark.sql.Column) =
+      log((col("n") - dfc + 0.5) / (dfc + 0.5) + 1) * (fc * 2.2) /
+        (fc + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    perdoc.filter(col("f0") + col("f1") + col("f2") > 0)
+      .crossJoin(broadcast(glob))
+      .select(col("doc_id"),
+        floor((contrib(col("f0"), col("df0")) +
+          contrib(col("f1"), col("df1")) +
+          contrib(col("f2"), col("df2"))) * 10000 + 0.5)
+          .cast("bigint").as("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

@@ -93,6 +93,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "map-side partial agg expected")
   }
 
+  test("q46: BM25 has ZERO wide exchanges — inline tf, scalar-stat broadcast, map-side top-k") {
+    val p = plan(Queries.q46Bm25Search(spark, dir))
+    assert(!p.contains("hashpartitioning"),
+      "no row stream may shuffle on a key (tf is computed inline on the row)")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ranking must be a partial top-k, not a global sort")
+    assert(p.contains("partial_count"), "scalar stats agg must map-side combine")
+    assert(!p.contains("Generate explode"),
+      "the token stream must never exist as rows")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))

@@ -134,6 +134,31 @@ class ReadsideSpec extends SparkSpec {
     assert(split45 == naive)
   }
 
+  test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
+    val terms = Seq("spark", "window", "vector")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(col("w") =!= "")
+    val doclen = tok.groupBy(col("doc_id")).agg(count(lit(1)).cast("double").as("dl"))
+    val glob = doclen.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = tok.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).cast("double").as("f"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    val naive = tf.join(doclen, Seq("doc_id")).join(broadcast(df_), Seq("w"))
+      .crossJoin(broadcast(glob))
+      .withColumn("contrib",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) * (col("f") * 2.2) /
+          (col("f") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(col("contrib")) * 10000 + 0.5).cast("bigint").as("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = SparkEntry.queries("q46_bm25_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline == naive)
+  }
+
   test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
     val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
