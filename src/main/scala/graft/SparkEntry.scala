@@ -63,6 +63,9 @@ object SparkEntry {
     "q44_repetition_stats" -> (Queries.q44RepetitionStats _),
     "q45_unigram_xent" -> (Queries.q45UnigramXent _),
     "q46_bm25_search" -> (Queries.q46Bm25Search _),
+    "q47_sequence_packing" -> (Queries.q47SequencePacking _),
+    "q48_chunk_dedup" -> (Queries.q48ChunkDedup _),
+    "q49_temperature_mix" -> (Queries.q49TemperatureMix _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

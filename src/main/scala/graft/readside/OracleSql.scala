@@ -540,6 +540,66 @@ object OracleSql {
       FROM p CROSS JOIN g
       WHERE f0 + f1 + f2 > 0
       ORDER BY bm25_e4 DESC, doc_id
-      LIMIT 20"""
+      LIMIT 20""",
+
+    // Sequence packing: exclusive running token offset in doc_id order
+    // (plain global window here; the Spark side's two-phase bucketed
+    // prefix sum must equal it), integer-divided into 512-token cuts.
+    "q47_sequence_packing" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM d WHERE n_tok > 0)
+      SELECT doc_id, n_tok, start_tok,
+             start_tok // 512 AS first_seq,
+             (start_tok + n_tok - 1) // 512 AS last_seq,
+             (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_seqs
+      FROM p ORDER BY doc_id""",
+
+    // Chunk-level dedup: groups by the chunk STRING (the Spark side keys
+    // the same decision on the 192-bit fingerprint); first occurrence =
+    // lowest (doc_id, chunk_id); reassembly in chunk order.
+    "q48_chunk_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        FROM documents),
+      c0 AS (
+        SELECT doc_id, toks, unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS chunk_id
+        FROM d WHERE len(toks) > 0),
+      c AS (
+        SELECT doc_id, chunk_id, array_to_string(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 16), ' ') AS chunk
+        FROM c0),
+      k AS (
+        SELECT doc_id, chunk_id, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rn
+        FROM c)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_id), '') AS dedup_text
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    // Temperature mix: integer-exact quotas (floor(sqrt) weights, integer
+    // division), Lehmer-scramble pick order — no double sum anywhere.
+    "q49_temperature_mix" -> """
+      WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_g
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(w_g) AS BIGINT) AS w_sum FROM counts),
+      q AS (SELECT source, n_g, (100 * w_g) // w_sum AS quota
+            FROM counts CROSS JOIN tot),
+      r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY (doc_id * 48271) % 65537, doc_id) AS BIGINT) AS rn
+        FROM documents)
+      SELECT doc_id, source, rn, quota
+      FROM r JOIN q USING (source)
+      WHERE rn <= quota
+      ORDER BY doc_id"""
   )
 }

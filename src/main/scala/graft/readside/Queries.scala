@@ -929,6 +929,144 @@ object Queries {
       .limit(20)
   }
 
+  /** q47: SEQUENCE PACKING — the GPT-style concat-and-chunk assignment of
+    * documents to fixed-length training sequences: tokens are laid out in
+    * doc_id order and cut every 512, and each document reports the token
+    * span and the first/last sequence it lands in (the map a training-data
+    * loader needs to shard example files).
+    *
+    * The global running token offset is the textbook distributed PREFIX
+    * SUM, not a single-partition `Window.orderBy` over the corpus (which
+    * serializes the whole table through one task): docs are range-bucketed
+    * by a monotone function of doc_id into O(parallelism) buckets, the
+    * within-bucket running sum is a bucket-partitioned window (parallel),
+    * and the cross-bucket offsets are an exclusive prefix over the
+    * O(parallelism)-row bucket-total table — the only unpartitioned window
+    * in the plan runs over ~hundreds of rows regardless of corpus size,
+    * then broadcasts back. Two scalar driver values (min/max doc_id) size
+    * the buckets; all outputs are BIGINTs (token counts and integer
+    * divisions — nothing rides a double). */
+  def q47SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 512L
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val perdoc = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val mm = perdoc.agg(min(col("doc_id")), max(col("doc_id"))).head
+    if (mm.isNullAt(0)) // empty corpus: empty result, correct schema
+      return perdoc.select(col("doc_id"), col("n_tok"),
+        lit(0L).as("start_tok"), lit(0L).as("first_seq"),
+        lit(0L).as("last_seq"), lit(0L).as("n_seqs")).limit(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val nb = s.sparkContext.defaultParallelism.toLong * 8
+    val bWidth = math.max(1L, (hi - lo + nb) / nb) // ceil((hi-lo+1)/nb)
+    val bucketed = perdoc
+      .withColumn("bucket", expr(s"(doc_id - $lo) DIV $bWidth"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val within = bucketed.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    within.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok", col("boff") + col("cum_in") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $seqLen").as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q48: CHUNK-LEVEL exact dedup — the tractable relational form of
+    * exact-substring training-data dedup (Lee et al. 2022's observation
+    * that duplicated PASSAGES, not just duplicated documents, drive
+    * memorization): each document is cut into non-overlapping 16-word
+    * chunks, a chunk occurring in several places is kept only at its
+    * first occurrence (lowest doc_id, then chunk position), and each
+    * document is reassembled from its surviving chunks.
+    *
+    * Scale shape: the chunk TEXT crosses exactly ONE wide exchange. The
+    * dedup decision runs on a slim (192-bit fingerprint, doc_id,
+    * chunk_id) stream — the q24 convention, ~40 B/row — and the ranked
+    * keep/drop verdicts are joined back to the text co-partitioned: both
+    * sides are explicitly hash-partitioned on doc_id (a subset of the
+    * join key, which satisfies the join's clustering requirement), so the
+    * text-bearing side shuffles once and the final per-document
+    * reassembly aggregate REUSES that partitioning — no doc_id+chunk_id
+    * exchange ever materializes (PlanSpec-pinned). The DuckDB oracle
+    * groups by the chunk STRING — equal results absent 192-bit
+    * collisions (~n²/2¹⁹²). */
+  def q48ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val cw = 16
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), array_remove(split(norm, " "), "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val chunks = d
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), (ceil(size(col("toks")) / lit(cw.toDouble)) - 1).cast("long"))))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") * cw + 1).cast("int"), lit(cw))).as("chunk"))
+    val w = Window.partitionBy(col("h1__"), col("h2__"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    // slim decision stream: fingerprints + ids only, never the text
+    val kept = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        xxhash64(col("chunk")).as("h1__"), md5(col("chunk")).as("h2__"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("chunk_id"), col("rn"))
+    chunks.repartition(col("doc_id"))
+      .join(kept.repartition(col("doc_id")), Seq("doc_id", "chunk_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        count(when(col("rn") === 1, 1)).cast("bigint").as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_id"), col("chunk"))))),
+            x => x.getField("chunk"))).as("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q49: TEMPERATURE-MIX resampling — the LLaMA/DoReMi-style corpus
+    * mixing step q43's fixed 1-in-7 stride can't express: per-source
+    * quotas ∝ n_g^α (α=0.5) flatten the source distribution so small
+    * sources are upweighted relative to their share, then each source
+    * contributes its quota of deterministically scrambled picks.
+    *
+    * Cross-engine exactness: weights use floor(sqrt(n_g)) — IEEE sqrt is
+    * correctly rounded, so the floor is identical on both engines — and
+    * everything downstream is INTEGER math (quota = N·w_g DIV Σw — no
+    * double sum whose addition order could differ between engines). The
+    * per-source pick order is a Lehmer-style integer scramble
+    * ((doc_id·48271) mod 65537) — deterministic, identical in SQL, and
+    * uncorrelated with doc_id order, i.e. a seeded shuffle, not a prefix.
+    * Scale shape: one scalar aggregate over the slim (doc_id, source)
+    * projection for the quota table (broadcast back), one shuffle on the
+    * source key for the ranked picks — same spine as q43. */
+  def q49TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val target = 100L
+    val slim = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = slim.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_g", floor(sqrt(col("n_g"))).cast("bigint"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w_g")).as("w_sum"))))
+      .withColumn("quota", expr(s"($target * w_g) DIV w_sum"))
+      .select(col("source"), col("n_g"), col("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * 48271, lit(65537L)), col("doc_id"))
+    slim
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rn"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reusable min-label connected components over any (id_a, id_b) pair
     * list (the q41 engine, also composed with the c14 image-phash pair
     * graph as c15): returns one (id, rep, cluster_size) row per node that

@@ -14,6 +14,10 @@ class PlanSpec extends SparkSpec {
   private val dir = sf("sf0.001")
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.sparkPlan.toString
+  // post-EnsureRequirements plan: Exchange nodes exist only here, so any
+  // pin on shuffle keys/partitioning must read this one, not sparkPlan
+  private def planExec(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
 
   test("q02: range + quantity filters PUSHED to the parquet scan; columns pruned") {
     val p = plan(Queries.q02FilterProject(spark, dir))
@@ -94,7 +98,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q46: BM25 has ZERO wide exchanges — inline tf, scalar-stat broadcast, map-side top-k") {
-    val p = plan(Queries.q46Bm25Search(spark, dir))
+    val p = planExec(Queries.q46Bm25Search(spark, dir))
     assert(!p.contains("hashpartitioning"),
       "no row stream may shuffle on a key (tf is computed inline on the row)")
     assert(p.contains("TakeOrderedAndProject"),
@@ -102,6 +106,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "scalar stats agg must map-side combine")
     assert(!p.contains("Generate explode"),
       "the token stream must never exist as rows")
+  }
+
+  test("q47: corpus prefix-sum window is bucket-partitioned, not a single-task global window") {
+    val p = planExec(Queries.q47SequencePacking(spark, dir))
+    assert(p.contains("hashpartitioning(bucket"),
+      "the full-table running sum must partition by the range bucket")
+    // the only unpartitioned window may run over the tiny bucket-total
+    // aggregate, i.e. downstream of a partial_sum — never over raw docs
+    assert(p.contains("partial_sum"), "bucket totals must map-side combine")
+  }
+
+  test("q48: chunk text shuffles once on doc_id; no (doc_id, chunk_id) exchange") {
+    val p = planExec(Queries.q48ChunkDedup(spark, dir))
+    assert(!p.matches("(?s).*hashpartitioning\\(doc_id#\\d+L?,\\s*chunk_id.*"),
+      "the decision join must reuse the doc_id-only partitioning (subset key)")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "text side must be explicitly partitioned by doc_id for agg reuse")
+  }
+
+  test("q49: quota table broadcasts; picks shuffle once on the source key") {
+    val p = planExec(Queries.q49TemperatureMix(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "quota join must broadcast")
+    assert(p.contains("hashpartitioning(source"), "ranking shuffles on source")
   }
 
   test("q03/q05: dimension joins are broadcast, not shuffled") {

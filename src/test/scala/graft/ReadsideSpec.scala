@@ -159,6 +159,61 @@ class ReadsideSpec extends SparkSpec {
     assert(inline == naive)
   }
 
+  test("q47 two-phase bucketed prefix sum equals the single-window naive form") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val naive = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(
+        W.orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr("start_tok DIV 512").as("first_seq"),
+        expr("(start_tok + n_tok - 1) DIV 512").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .collect().map(_.toString).toSet
+    val twoPhase = SparkEntry.queries("q47_sequence_packing")(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(twoPhase == naive)
+  }
+
+  test("q48 chunk dedup equals a driver-side brute-force reimplementation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None else {
+        val chunks = toks.grouped(16).map(_.mkString(" ")).toVector
+        val kept = chunks.filter(c => seen.add(c))
+        Some((id, chunks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q48_chunk_dedup")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q49 temperature mix: integer-exact quotas; per-source selected = min(quota, n_g)") {
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val wg = counts.map { case (src, n) =>
+      src -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val wsum = wg.values.sum
+    val quota = wg.map { case (src, w) => src -> (100L * w) / wsum }
+    val out = SparkEntry.queries("q49_temperature_mix")(spark, dir).collect()
+    val bySource = out.groupBy(_.getString(1))
+    for ((src, n) <- counts) {
+      val sel = bySource.get(src).map(_.length.toLong).getOrElse(0L)
+      assert(sel == math.min(quota(src), n), s"source=$src")
+      bySource.getOrElse(src, Array()).foreach { r =>
+        assert(r.getLong(3) == quota(src), s"quota mismatch for $src")
+        assert(r.getLong(2) <= quota(src), s"rank past quota for $src")
+      }
+    }
+  }
+
   test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
     val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
