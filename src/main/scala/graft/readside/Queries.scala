@@ -894,10 +894,13 @@ object Queries {
     * rows, nothing shuffles on a word key); corpus stats (N, avgdl, per-
     * term df) are ONE scalar aggregate broadcast back; ranking is
     * orderBy+limit → TakeOrderedAndProject (map-side partial top-k, no
-    * global sort). Two slim (doc_id, text) scans — a second scan beats
-    * materializing a per-doc side table at corpus scale. Integer-scaled
-    * ×10⁴ score, ordered and CUT by the integer (both engines), so the
-    * top-k boundary never rides a double comparison. */
+    * global sort). The text is TOKENIZED ONCE: the slim per-doc stats
+    * (~40 B/row, ≪0.1% of the text) are materialized to scratch parquet
+    * and both the stats aggregate and the scoring pass read that —
+    * re-scanning the raw corpus for the second pass would double the
+    * dominant I/O at 100 TB. Integer-scaled ×10⁴ score, ordered and CUT
+    * by the integer (both engines), so the top-k boundary never rides a
+    * double comparison. */
   def q46Bm25Search(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
@@ -905,10 +908,10 @@ object Queries {
     // occurrences of `term` = |arr| − |arr without term| (array_remove)
     def f(term: String) =
       (size(toks) - size(array_remove(toks, term))).cast("double")
-    val perdoc = t(s, dir, "documents").select(
+    val perdoc = materialize(s, t(s, dir, "documents").select(
       col("doc_id"),
       size(array_remove(toks, "")).cast("double").as("dl"),
-      f(terms(0)).as("f0"), f(terms(1)).as("f1"), f(terms(2)).as("f2"))
+      f(terms(0)).as("f0"), f(terms(1)).as("f1"), f(terms(2)).as("f2")))
     val glob = perdoc.agg(
       count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
       count(when(col("f0") > 0, 1)).cast("double").as("df0"),
@@ -945,14 +948,19 @@ object Queries {
     * in the plan runs over ~hundreds of rows regardless of corpus size,
     * then broadcasts back. Two scalar driver values (min/max doc_id) size
     * the buckets; all outputs are BIGINTs (token counts and integer
-    * divisions — nothing rides a double). */
+    * divisions — nothing rides a double).
+    *
+    * The text is TOKENIZED ONCE: the slim (doc_id, n_tok) table (16 B/row)
+    * is materialized to scratch parquet and all three consumers (min/max
+    * scalar, within-bucket window, bucket totals) read that — otherwise
+    * each would re-scan and re-tokenize the raw corpus. */
   def q47SequencePacking(s: SparkSession, dir: String): DataFrame = {
     val seqLen = 512L
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val perdoc = t(s, dir, "documents")
+    val perdoc = materialize(s, t(s, dir, "documents")
       .select(col("doc_id"),
         size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"))
-      .filter(col("n_tok") > 0)
+      .filter(col("n_tok") > 0))
     val mm = perdoc.agg(min(col("doc_id")), max(col("doc_id"))).head
     if (mm.isNullAt(0)) // empty corpus: empty result, correct schema
       return perdoc.select(col("doc_id"), col("n_tok"),
@@ -996,9 +1004,13 @@ object Queries {
     * join key, which satisfies the join's clustering requirement), so the
     * text-bearing side shuffles once and the final per-document
     * reassembly aggregate REUSES that partitioning — no doc_id+chunk_id
-    * exchange ever materializes (PlanSpec-pinned). The DuckDB oracle
-    * groups by the chunk STRING — equal results absent 192-bit
-    * collisions (~n²/2¹⁹²). */
+    * exchange ever materializes (PlanSpec-pinned). The corpus IS scanned
+    * twice (decision stream + text side) — here that is the right
+    * trade, unlike q46/q47: the reusable intermediate (the chunk table)
+    * is corpus-sized, so materializing it would cost a full-corpus
+    * write+read against a plain second scan. The DuckDB oracle groups by
+    * the chunk STRING — equal results absent 192-bit collisions
+    * (~n²/2¹⁹²). */
   def q48ChunkDedup(s: SparkSession, dir: String): DataFrame = {
     val cw = 16
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
