@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import graft.expressions._
 
 /** SQL surface for the native expressions (SURVEY.md §2.10): makes every
@@ -38,6 +38,13 @@ object GraftExtensions {
     case Literal(v: Long, LongType)   => v
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got: $other")
+  }
+
+  private def strLit(e: Expression, fn: String, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got: $other")
   }
 
   private def arity(fn: String, got: Int, want: String): Nothing =
@@ -110,6 +117,14 @@ object GraftExtensions {
         case Seq(c, n) => NgramMaxCountExpr(c,
           intLit(n, "graft_ngram_max_count", "n"))
         case as        => arity("graft_ngram_max_count", as.size, "1 or 2")
+      }),
+    (FunctionIdentifier("graft_term_freqs"),
+      desc("graft_term_freqs", classOf[TermFreqsExpr],
+        "graft_term_freqs(text, term, ...) - [n_tokens, count(term_1), ...] in one tokenize pass (BM25 per-row stats)."),
+      (args: Seq[Expression]) => args match {
+        case c +: ts if ts.nonEmpty => TermFreqsExpr(c,
+          ts.map(strLit(_, "graft_term_freqs", "term")))
+        case as => arity("graft_term_freqs", as.size, "2 or more")
       }))
 
   /** Register every graft function on an already-built session. */

@@ -242,6 +242,43 @@ object ExprOps {
     best
   }
 
+  /** One-pass whitespace tokenize + multi-term frequency count over the
+    * LOWERCASED text: returns `[n_tokens, count(term_0), …, count(term_k)]`
+    * as longs. A token is a maximal non-whitespace run; term match is byte
+    * equality against the (pre-lowercased) term bytes. Semantically equal
+    * to `size(array_remove(split(norm, " "), ""))` plus one
+    * `size − size(array_remove(…, term))` per term, but ONE traversal of
+    * the text instead of 1 + k array materializations/scans — the BM25
+    * per-row hot loop. */
+  def termFreqs(text: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val k = terms.length
+    val out = new Array[Long](k + 1)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        out(0) += 1
+        val len = i - start
+        var t = 0
+        while (t < k) {
+          val tb = terms(t)
+          if (tb.length == len) {
+            var j = 0
+            while (j < len && tb(j) == bytes(start + j)) j += 1
+            if (j == len) out(t + 1) += 1
+          }
+          t += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Sign-random-projection LSH bucket for a float embedding: `nBits`
     * deterministic hash-derived hyperplanes; sign bits packed to a long.
     * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */

@@ -97,6 +97,23 @@ case class NgramMaxCountExpr(child: Expression, n: Int)
   override def prettyName: String = "ngram_max_count"
 }
 
+case class TermFreqsExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(t => UTF8String.fromString(t).toLowerCase.getBytes).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.termFreqs(v.asInstanceOf[UTF8String], termBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("termBytes", termBytes, "byte[][]")
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.termFreqs($c, $ref);"
+    })
+  override protected def withNewChildInternal(c: Expression): TermFreqsExpr =
+    copy(child = c)
+  override def prettyName: String = "term_freqs"
+}
+
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -133,4 +150,7 @@ object GraftFunctions {
 
   def ngramMaxCount(text: Column, n: Int = 2): Column =
     Bridge.column(NgramMaxCountExpr(Bridge.expression(text), n))
+
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    Bridge.column(TermFreqsExpr(Bridge.expression(text), terms))
 }

@@ -903,15 +903,18 @@ object Queries {
     * double comparison. */
   def q46Bm25Search(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "window", "vector")
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = split(norm, " ")
-    // occurrences of `term` = |arr| − |arr without term| (array_remove)
-    def f(term: String) =
-      (size(toks) - size(array_remove(toks, term))).cast("double")
+    // [n_tokens, tf(spark), tf(window), tf(vector)] in ONE tokenize pass
+    // (native codegen TermFreqsExpr) — vs 1 + k split/array_remove scans
+    // of every document; the materialized slim table is projected from
+    // the array AFTER the scratch write so the kernel runs once per row.
     val perdoc = materialize(s, t(s, dir, "documents").select(
       col("doc_id"),
-      size(array_remove(toks, "")).cast("double").as("dl"),
-      f(terms(0)).as("f0"), f(terms(1)).as("f1"), f(terms(2)).as("f2")))
+      GraftFunctions.termFreqs(col("text"), terms).as("tf")))
+      .select(col("doc_id"),
+        element_at(col("tf"), 1).cast("double").as("dl"),
+        element_at(col("tf"), 2).cast("double").as("f0"),
+        element_at(col("tf"), 3).cast("double").as("f1"),
+        element_at(col("tf"), 4).cast("double").as("f2"))
     val glob = perdoc.agg(
       count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
       count(when(col("f0") > 0, 1)).cast("double").as("df0"),

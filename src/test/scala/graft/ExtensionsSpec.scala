@@ -47,6 +47,17 @@ class ExtensionsSpec extends SparkSpec {
     api.zip(sql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("SQL ≡ Column API: term_freqs (variadic string-literal terms)") {
+    val api = docs.select(col("doc_id"),
+        GraftFunctions.termFreqs(col("text"), Seq("spark", "window")).as("tf"))
+      .orderBy("doc_id").collect()
+    val sql = spark.sql(
+      """SELECT doc_id, graft_term_freqs(text, 'spark', 'window') AS tf
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(api.length == sql.length && api.length > 0)
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("SQL ≡ Column API: cosine_sim and srp_bucket over real embeddings") {
     val api = embs.as("a").join(embs.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id", $"b.vec_id",

@@ -210,6 +210,30 @@ class FunctionsSpec extends SparkSpec {
     assert(brute(cases(1), 2) == 5L) // sanity on the oracle itself
   }
 
+  test("termFreqs ≡ split/array_remove counting; edge cases incl. empty/blank/case") {
+    val terms = Seq("spark", "a", "café")
+    def brute(text: String): Seq[Long] = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      t.length.toLong +: terms.map(term => t.count(_ == term).toLong)
+    }
+    val cases = Seq(
+      "spark a spark b SPARK",
+      "",                                  // no tokens at all
+      "   \t\n  ",                         // blank → no tokens
+      "a",                                 // single matching token
+      "aa a aaa a",                        // no substring false positives
+      "Café CAFÉ café x",                  // unicode lowercase
+      "spark", "notspark sparknot spark")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .withColumn("tf", GraftFunctions.termFreqs($"text", terms))
+    df.select($"id", $"tf").as[(Long, Seq[Long])].collect().foreach {
+      case (i, got) =>
+        assert(got == brute(cases(i.toInt)),
+          s"case $i '${cases(i.toInt)}': got $got want ${brute(cases(i.toInt))}")
+    }
+  }
+
   test("shingles, minhash, lsh bands, jaccard") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
