@@ -268,6 +268,36 @@ object CrawlQueries {
     multimodalConsensusPairs(s.read.parquet(s"${crawlDir(s)}/payload"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** P8-P10 as a REAL extraction over STORED data: parse docid and host
+    * back out of the persisted caption STRING (regex label/value
+    * extraction — the reference's HtmlContentExtractionService parse,
+    * which q37's documents-side form can only simulate because the
+    * synthetic corpus text carries no labeled structure), derive the
+    * court facet from the EXTRACTED docid (P6 composed on parsed output,
+    * not on a typed column), and roll up per court with extraction-
+    * soundness counters. CrawlSpec asserts zero mismatches against the
+    * typed columns and rollup equality with the typed-column facet —
+    * the extraction is verified against ground truth it never reads.
+    * Pure map over a slim projection; payload bytes never touched. */
+  def captionExtraction(payload: DataFrame): DataFrame =
+    payload
+      .filter(col("status") === "PROCESSED")
+      .select(col("image_id"), col("host"),
+        regexp_extract(col("caption"),
+          "^Decision document (\\S+) published by (\\S+)$", 1).as("docid_ext"),
+        regexp_extract(col("caption"),
+          "^Decision document (\\S+) published by (\\S+)$", 2).as("host_ext"))
+      .groupBy(graft.functions.UrlFunctions.courtOf(col("docid_ext")).as("court"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("docid_ext") ===
+          expr("substring(image_id, 1, length(image_id) - 17)"), 1))
+          .as("n_docid_ok"),
+        count(when(col("host_ext") === col("host"), 1)).as("n_host_ok"))
+      .orderBy(col("court"))
+
+  def c17CaptionExtraction(s: SparkSession, dir: String): DataFrame =
+    captionExtraction(s.read.parquet(s"${crawlDir(s)}/payload"))
+
   /** S5 discovery: driver-side binary search bounds the range (log₂
     * probes), then the distributed HEAD-probe stage scans only the
     * bounded range; monthly availability rollup. */

@@ -696,7 +696,11 @@ object Queries {
     * `text` column — so the extraction round-trips real unpredictable
     * content and the DuckDB oracle must independently derive the same
     * values from the table (it cannot synthesize them from doc_id
-    * arithmetic, the round-1/2 weakness). */
+    * arithmetic, the round-1/2 weakness). The synthetic corpus text
+    * itself carries no labeled structure to parse; the FULLY-stored-data
+    * form of this extraction is c17 ([[CrawlQueries.captionExtraction]]),
+    * which regex-parses the persisted crawl captions and is verified
+    * against typed columns it never reads. */
   def q37MetadataMap(s: SparkSession, dir: String): DataFrame = {
     // excerpt cleaned of the structural chars (line/pair/kv separators) so
     // the parse is unambiguous — the reference's extractor does the same

@@ -147,6 +147,27 @@ class CrawlSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("c17: caption extraction is sound (parses ≡ typed columns) and facet-complete") {
+    val payload = spark.read.parquet(s"$wd/payload")
+    val rows = graft.readside.CrawlQueries.captionExtraction(payload)
+      .select($"court", $"n_docs", $"n_docid_ok", $"n_host_ok")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every parsed docid/host agrees with the row's own typed columns —
+    // the extraction is verified against ground truth it never reads
+    rows.foreach { case (court, n, dOk, hOk) =>
+      assert(dOk == n, s"court $court: ${n - dOk} docid extraction misses")
+      assert(hOk == n, s"court $court: ${n - hOk} host extraction misses")
+    }
+    // the court facet from EXTRACTED docids equals the typed-column facet
+    val typed = payload.filter($"status" === Status.Processed)
+      .select(graft.functions.UrlFunctions.courtOf(
+        expr("substring(image_id, 1, length(image_id) - 17)")).as("court"))
+      .groupBy($"court").count()
+      .as[(String, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == typed)
+  }
+
   test("c16: multimodal consensus equals caption-confirmed subset of c14 pairs") {
     val payload = spark.read.parquet(s"$wd/payload")
     val got = graft.readside.CrawlQueries.multimodalConsensusPairs(payload)
