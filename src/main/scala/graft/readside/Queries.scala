@@ -961,7 +961,15 @@ object Queries {
     * is materialized to scratch parquet and all three consumers (min/max
     * scalar, within-bucket window, bucket totals) read that — otherwise
     * each would re-scan and re-tokenize the raw corpus. */
-  def q47SequencePacking(s: SparkSession, dir: String): DataFrame = {
+  def q47SequencePacking(s: SparkSession, dir: String): DataFrame =
+    q47WithBuckets(s, dir, s.sparkContext.defaultParallelism.toLong * 8)
+
+  /** q47 with an explicit bucket count — the result is INVARIANT to it
+    * (prefix sums are associative; ReadsideSpec pins equality across
+    * bucket counts 1, 3, and 1000), so the public entry is free to size
+    * buckets from the session's parallelism. */
+  private[graft] def q47WithBuckets(s: SparkSession, dir: String,
+      nb: Long): DataFrame = {
     val seqLen = 512L
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val perdoc = materialize(s, t(s, dir, "documents")
@@ -974,7 +982,6 @@ object Queries {
         lit(0L).as("start_tok"), lit(0L).as("first_seq"),
         lit(0L).as("last_seq"), lit(0L).as("n_seqs")).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val nb = s.sparkContext.defaultParallelism.toLong * 8
     val bWidth = math.max(1L, (hi - lo + nb) / nb) // ceil((hi-lo+1)/nb)
     val bucketed = perdoc
       .withColumn("bucket", expr(s"(doc_id - $lo) DIV $bWidth"))

@@ -176,6 +176,14 @@ class ReadsideSpec extends SparkSpec {
     val twoPhase = SparkEntry.queries("q47_sequence_packing")(spark, dir)
       .collect().map(_.toString).toSet
     assert(twoPhase == naive)
+    // bucket-count invariance: the public entry sizes buckets from the
+    // session's parallelism, so a different Verify/driver/cluster core
+    // count must not change a single row (prefix sums are associative)
+    for (nb <- Seq(1L, 3L, 1000L)) {
+      val alt = graft.readside.Queries.q47WithBuckets(spark, dir, nb)
+        .collect().map(_.toString).toSet
+      assert(alt == naive, s"nb=$nb diverged")
+    }
   }
 
   test("q48 chunk dedup equals a driver-side brute-force reimplementation") {
