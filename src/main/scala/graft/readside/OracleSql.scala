@@ -600,6 +600,54 @@ object OracleSql {
       SELECT doc_id, source, rn, quota
       FROM r JOIN q USING (source)
       WHERE rn <= quota
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // End-to-end training-run assembly: repetition gate (relational
+    // bigram max — the Spark side's native expression), length floor,
+    // exact dedup on the text (Spark: 192-bit fingerprint), temperature
+    // quotas, exclusive-prefix-sum packing. Every stage integer-exact.
+    "q50_training_assembly" -> """
+      WITH d AS (
+        SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, source, text, CAST(len(t) AS BIGINT) AS n_tok, t
+        FROM d WHERE len(t) >= 16),
+      g AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS bg
+        FROM base),
+      mb AS (
+        SELECT doc_id, MAX(c) AS maxbg
+        FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY 1, 2)
+        GROUP BY doc_id),
+      kept AS (
+        SELECT b.doc_id, b.source, b.text, b.n_tok
+        FROM base b JOIN mb USING (doc_id) WHERE maxbg * 10 < n_tok),
+      ded AS (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rnd
+        FROM kept),
+      surv AS (SELECT doc_id, source, n_tok FROM ded WHERE rnd = 1),
+      counts AS (
+        SELECT source, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_g
+        FROM surv GROUP BY source),
+      tot AS (SELECT CAST(sum(w_g) AS BIGINT) AS w_sum FROM counts),
+      q AS (SELECT source, (200 * w_g) // w_sum AS quota
+            FROM counts CROSS JOIN tot),
+      r AS (
+        SELECT surv.*,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY (doc_id * 48271) % 65537, doc_id) AS BIGINT) AS rn
+        FROM surv),
+      sel AS (
+        SELECT r.doc_id, r.source, r.n_tok
+        FROM r JOIN q USING (source) WHERE rn <= quota),
+      p AS (
+        SELECT *, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM sel)
+      SELECT doc_id, source, n_tok, start_tok,
+             start_tok // 256 AS first_seq,
+             (start_tok + n_tok - 1) // 256 AS last_seq
+      FROM p ORDER BY doc_id"""
   )
 }

@@ -976,11 +976,26 @@ object Queries {
       .select(col("doc_id"),
         size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"))
       .filter(col("n_tok") > 0))
+    prefixStartTok(s, perdoc, nb)
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $seqLen").as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed EXCLUSIVE prefix sum: adds `start_tok` = Σ n_tok over all
+    * rows with smaller doc_id, passing every other input column through.
+    * Two-phase shape (see q47's scaladoc): bucket-partitioned windows in
+    * parallel + an O(nb)-row cross-bucket offset table broadcast back —
+    * never a single-task global window over the data. The input is
+    * consumed three times (bounds scalar, bucket totals, ranked window):
+    * callers materialize/cache it first. */
+  private[graft] def prefixStartTok(s: SparkSession, perdoc: DataFrame,
+      nb: Long): DataFrame = {
     val mm = perdoc.agg(min(col("doc_id")), max(col("doc_id"))).head
-    if (mm.isNullAt(0)) // empty corpus: empty result, correct schema
-      return perdoc.select(col("doc_id"), col("n_tok"),
-        lit(0L).as("start_tok"), lit(0L).as("first_seq"),
-        lit(0L).as("last_seq"), lit(0L).as("n_seqs")).limit(0)
+    if (mm.isNullAt(0)) // empty input: empty result, schema + start_tok
+      return perdoc.withColumn("start_tok", lit(0L)).limit(0)
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val bWidth = math.max(1L, (hi - lo + nb) / nb) // ceil((hi-lo+1)/nb)
     val bucketed = perdoc
@@ -995,11 +1010,7 @@ object Queries {
       .select(col("bucket"), col("boff"))
     within.join(broadcast(offsets), Seq("bucket"))
       .withColumn("start_tok", col("boff") + col("cum_in") - col("n_tok"))
-      .select(col("doc_id"), col("n_tok"), col("start_tok"),
-        expr(s"start_tok DIV $seqLen").as("first_seq"),
-        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("last_seq"))
-      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
-      .orderBy(col("doc_id"))
+      .drop("bucket", "cum_in", "boff")
   }
 
   /** q48: CHUNK-LEVEL exact dedup — the tractable relational form of
@@ -1090,6 +1101,57 @@ object Queries {
       .join(broadcast(quotas), Seq("source"))
       .filter(col("rn") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rn"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q50: TRAINING-RUN ASSEMBLY — the end-to-end composition of the
+    * round's curation operators as ONE fused pipeline, the integration
+    * check the per-stage oracles can't give (q40's role for the earlier
+    * stage set): repetition gate (q44's Gopher/C4 top-bigram rule) →
+    * length floor → exact content dedup at first occurrence (q24's
+    * 192-bit fingerprint convention) → temperature-mix selection (q49's
+    * integer-exact α=0.5 quotas) → sequence packing of the selected docs
+    * (q47's distributed prefix sum, 256-token sequences).
+    *
+    * Scale shape: ONE corpus scan computes every per-row stat and the
+    * dedup key in a single pass (native `ngram_max_count` + hashes; the
+    * text itself never leaves the scan), materialized as a ~60 B/row slim
+    * table; dedup shuffles fingerprints, quotas broadcast, packing is the
+    * bucket-parallel prefix sum — no stage ever touches the text again.
+    * All-integer outputs; value-exact DuckDB oracle over the whole
+    * composition. */
+  def q50TrainingAssembly(s: SparkSession, dir: String): DataFrame = {
+    val seqLen = 256L
+    val target = 200L
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val base = materialize(s, t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"),
+        GraftFunctions.ngramMaxCount(col("text"), 2).as("maxbg__"),
+        xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
+      .filter(col("n_tok") >= 16 && col("maxbg__") * 10 < col("n_tok")))
+    val wd = Window.partitionBy(col("h1__"), col("h2__"))
+      .orderBy(col("doc_id"))
+    val surv = base.withColumn("rnd__", row_number().over(wd))
+      .filter(col("rnd__") === 1)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val counts = surv.groupBy(col("source"))
+      .agg(floor(sqrt(count(lit(1)))).cast("bigint").as("w_g"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w_g")).as("w_sum"))))
+      .withColumn("quota", expr(s"($target * w_g) DIV w_sum"))
+      .select(col("source"), col("quota"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * 48271, lit(65537L)), col("doc_id"))
+    val sel = materialize(s, surv
+      .withColumn("rn", row_number().over(wr).cast("bigint"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("n_tok")))
+    prefixStartTok(s, sel, s.sparkContext.defaultParallelism.toLong * 8)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $seqLen").as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) DIV $seqLen").as("last_seq"))
       .orderBy(col("doc_id"))
   }
 

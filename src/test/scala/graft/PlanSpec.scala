@@ -131,6 +131,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), "ranking shuffles on source")
   }
 
+  test("q50: packing stage is the bucket-parallel prefix sum over the slim selection") {
+    val p = planExec(Queries.q50TrainingAssembly(spark, dir))
+    assert(p.contains("hashpartitioning(bucket"),
+      "final packing must partition by the range bucket")
+    assert(!p.contains("text"),
+      "the assembled plan must run entirely on slim materialized stats")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))

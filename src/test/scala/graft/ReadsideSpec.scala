@@ -222,6 +222,46 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q50 equals a driver-side reimplementation of the full assembly pipeline") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    def toks(t: String): Array[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // stage A: length floor + repetition gate (top-bigram rule)
+    val base = docs.flatMap { case (id, src, text) =>
+      val tk = toks(text)
+      if (tk.length < 16) None
+      else {
+        val maxbg = tk.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max
+        if (maxbg * 10 < tk.length) Some((id, src, text, tk.length.toLong))
+        else None
+      }
+    }
+    // stage B: exact dedup on the raw text, first occurrence wins
+    val seen = scala.collection.mutable.Set[String]()
+    val surv = base.filter { case (_, _, text, _) => seen.add(text) }
+      .map { case (id, src, _, n) => (id, src, n) }
+    // stage C: temperature quotas + Lehmer-scramble selection
+    val wg = surv.groupBy(_._2).map { case (s2, xs) =>
+      s2 -> math.floor(math.sqrt(xs.length.toDouble)).toLong }
+    val wsum = wg.values.sum
+    val quota = wg.map { case (s2, w) => s2 -> (200L * w) / wsum }
+    val sel = surv.groupBy(_._2).toSeq.flatMap { case (s2, xs) =>
+      xs.sortBy(x => ((x._1 * 48271) % 65537, x._1)).take(quota(s2).toInt)
+    }.sortBy(_._1)
+    // stage D: exclusive prefix sum + 256-token sequence cuts
+    var cum = 0L
+    val expected = sel.map { case (id, src, n) =>
+      val start = cum; cum += n
+      (id, src, n, start, start / 256, (start + n - 1) / 256)
+    }.toSet
+    val got = SparkEntry.queries("q50_training_assembly")(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("q30 SRP-LSH ANN candidates are a subset of exact near-dup pairs at lower threshold") {
     val srp = SparkEntry.queries("q30_srp_ann")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
