@@ -212,8 +212,31 @@ object CrawlLoop {
     // whose output is content-deterministically repartitioned inside
     // unseenTwoTierBroadcast. (A no-cache variant re-ran the dedup window
     // per consumer: 86-111 s vs 64 s at 32 cores — rejected.)
+    // ADAPTIVE storage level: deserialized rows are the fast path (SER
+    // re-pays serde on every consumer — measured ~20% wall at 16M URLs),
+    // but a frontier slice that rivals the heap must step DOWN — first to
+    // compact serialized blocks, then out of the heap entirely: on-heap
+    // blocks (even serialized) plus the window sorts tripped ParallelGC's
+    // GC-overhead limit at 64M URLs / 8 GiB, measured. Footprint is
+    // estimated from the config (~224 B/row deserialized incl. URL string
+    // + object headers, ~96 B/row serialized); thresholds leave the
+    // unified pool to execution. Degrade, never die: DISK_ONLY completes
+    // at any input size (local-disk blocks, zero storage-pool pressure).
+    // SPARK_GRAFT_FRONTIER_CACHE=mem|ser|disk overrides for A/B runs.
+    val frontierCacheLevel = sys.env.get("SPARK_GRAFT_FRONTIER_CACHE") match {
+      case Some("mem")  => StorageLevel.MEMORY_AND_DISK
+      case Some("ser")  => StorageLevel.MEMORY_AND_DISK_SER
+      case Some("disk") => StorageLevel.DISK_ONLY
+      case _ =>
+        val heap = Runtime.getRuntime.maxMemory()
+        if (cfg.urlsPerEpoch * 224L <= (heap * 0.35).toLong)
+          StorageLevel.MEMORY_AND_DISK
+        else if (cfg.urlsPerEpoch * 96L <= (heap * 0.25).toLong)
+          StorageLevel.MEMORY_AND_DISK_SER
+        else StorageLevel.DISK_ONLY
+    }
     val dedupTagged = Politeness.dedupFlagged(candidates)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(frontierCacheLevel)
     val deduped = dedupTagged.filter(!col("is_dup__")).drop("is_dup__")
       .as[KeyedUrl]
 

@@ -145,10 +145,29 @@ object Politeness {
     * is where the pruning pays. */
   private[graft] val MaxHeapHosts = 100000
 
+  /** Second valve: total RETAINED rows per task. The host-count valve
+    * bounds distinct heaps, but heaps below their host budget retain
+    * every row they see until the flush — on a large frontier slice with
+    * budgets that aren't being hit, a task would buffer close to its
+    * WHOLE partition as boxed rows (measured: "GC overhead limit
+    * exceeded" at 64M URLs × 32 concurrent tasks on an 8 GiB heap).
+    * Past the cap, rows of under-budget hosts bypass the heap straight
+    * to Survivor — always safe (phase 1 ranks them exactly; pruning is
+    * purely a shuffle-volume optimization), and a CONSTANT cap keeps the
+    * decision independent of machine memory. 64k rows × ~300 B boxed
+    * ≈ 20 MB/task — ~640 MB at 32 concurrent tasks, leaving the heap to
+    * the cache and the window sorts (a 250k cap measured insufficient at
+    * 64M URLs / 8 GiB: retained heaps + cache churn still tripped the GC
+    * overhead limit). The Zipf head still prunes: hot hosts fill their
+    * budget quickly and keep evicting past the cap. Eviction swaps on
+    * full heaps continue past the cap — they don't grow memory. */
+  private[graft] val MaxHeapRows = 65536
+
   private[graft] def prefilter(unseen: Dataset[KeyedUrl],
       rules: Map[String, RobotsRule], budgetPerHost: Int,
       maxHeapHosts: Int = MaxHeapHosts, epochWindowSec: Long = 0L,
-      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None)
+      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None,
+      maxHeapRows: Int = MaxHeapRows)
       : Dataset[(KeyedUrl, String, Int)] = {
     val spark = unseen.sparkSession
     import spark.implicits._
@@ -158,6 +177,7 @@ object Politeness {
     unseen.mapPartitions { rows =>
       val heaps = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.PriorityQueue[KeyedUrl]]
+      var retained = 0
       val decided = rows.flatMap { r =>
         if (!Robots.allows(bc.value.get(r.host), r.path))
           Iterator.single((r, Sched.Denied, 0))
@@ -171,9 +191,12 @@ object Politeness {
             }
             val hostBudget = effectiveBudget(bc.value, r.host,
               budgetPerHost, epochWindowSec)
-            if (h.size < hostBudget) { h.enqueue(r); Iterator.empty }
-            else if (ordKey.lt(r, h.head)) {
-              val evicted = h.dequeue(); h.enqueue(r)
+            if (h.size < hostBudget) {
+              if (retained >= maxHeapRows) // row valve: no growth left
+                Iterator.single((r, Sched.Survivor, 0))
+              else { h.enqueue(r); retained += 1; Iterator.empty }
+            } else if (ordKey.lt(r, h.head)) {
+              val evicted = h.dequeue(); h.enqueue(r) // swap: no growth
               Iterator.single((evicted, Sched.Deferred, 0))
             } else Iterator.single((r, Sched.Deferred, 0))
         }

@@ -858,6 +858,31 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("prefilter row valve: past the retained-row cap rows bypass safely (completeness intact)") {
+    val budget = 10
+    val hosts = (0 until 5).map(i => s"h$i.example")
+    val allow = hosts.map(h => h -> RobotsRule(h, allowAll = true, Seq())).toMap
+    val rows = spark.range(5000).map { i =>
+      val host = hosts((i % 5).toInt)
+      KeyedUrl(s"https://$host/?docid=D$i", i, s"D$i", "BGH", host,
+        (i % 4).toInt, "/docs", i / 100, i % 100, 0, new java.sql.Timestamp(0L))
+    }.repartition(4)
+    // cap of 3 retained rows per task: nearly everything must bypass, yet
+    // no admissible row may be pruned (a bypassed row reaches phase 1's
+    // exact ranking; only heap-proven over-budget rows may be Deferred)
+    val pre = Politeness.prefilter(rows, allow, budget, maxHeapRows = 3).collect()
+    assert(pre.map(_._1.url_hash).distinct.length == 5000,
+      "every input row must come out exactly once")
+    val survivors = pre.filter(_._2 == Politeness.Sched.Survivor).map(_._1)
+    val byHost = rows.collect().groupBy(_.host)
+    byHost.foreach { case (h, all) =>
+      val top = all.sortBy(k => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+        .take(budget).map(_.url_hash).toSet
+      val surv = survivors.filter(_.host == h).map(_.url_hash).toSet
+      assert(top.subsetOf(surv), s"host $h lost admissible rows to the row valve")
+    }
+  }
+
   test("determinism across parallelism: local[4] session rerun gives same seen set") {
     val c = cfg.copy(workDir = tmpDir())
     CrawlLoop.run(spark, c)
