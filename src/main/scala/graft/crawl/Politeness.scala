@@ -195,7 +195,9 @@ object Politeness {
               if (retained >= maxHeapRows) // row valve: no growth left
                 Iterator.single((r, Sched.Survivor, 0))
               else { h.enqueue(r); retained += 1; Iterator.empty }
-            } else if (ordKey.lt(r, h.head)) {
+            // h.nonEmpty guard: a zero host budget (legal config — "defer
+            // everything") leaves the heap empty and must not touch h.head
+            } else if (h.nonEmpty && ordKey.lt(r, h.head)) {
               val evicted = h.dequeue(); h.enqueue(r) // swap: no growth
               Iterator.single((evicted, Sched.Deferred, 0))
             } else Iterator.single((r, Sched.Deferred, 0))

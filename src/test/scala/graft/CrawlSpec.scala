@@ -883,6 +883,20 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("prefilter zero host budget: every allowed row deferred, no crash") {
+    val hosts = (0 until 3).map(i => s"h$i.example")
+    val allow = hosts.map(h => h -> RobotsRule(h, allowAll = true, Seq())).toMap
+    val rows = spark.range(300).map { i =>
+      val host = hosts((i % 3).toInt)
+      KeyedUrl(s"https://$host/?docid=D$i", i, s"D$i", "BGH", host,
+        (i % 4).toInt, "/docs", i / 100, i % 100, 0, new java.sql.Timestamp(0L))
+    }.repartition(4)
+    val pre = Politeness.prefilter(rows, allow, budgetPerHost = 0).collect()
+    assert(pre.length == 300)
+    assert(pre.forall(_._2 == Politeness.Sched.Deferred),
+      "budget 0 must defer every allowed row")
+  }
+
   test("determinism across parallelism: local[4] session rerun gives same seen set") {
     val c = cfg.copy(workDir = tmpDir())
     CrawlLoop.run(spark, c)
