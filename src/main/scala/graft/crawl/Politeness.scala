@@ -153,28 +153,40 @@ object Politeness {
     * exceeded" at 64M URLs × 32 concurrent tasks on an 8 GiB heap).
     * Past the cap, rows of under-budget hosts bypass the heap straight
     * to Survivor — always safe (phase 1 ranks them exactly; pruning is
-    * purely a shuffle-volume optimization), and a CONSTANT cap keeps the
-    * decision independent of machine memory. 64k rows × ~300 B boxed
-    * ≈ 20 MB/task — ~640 MB at 32 concurrent tasks, leaving the heap to
-    * the cache and the window sorts (a 250k cap measured insufficient at
-    * 64M URLs / 8 GiB: retained heaps + cache churn still tripped the GC
-    * overhead limit). The Zipf head still prunes: hot hosts fill their
-    * budget quickly and keep evicting past the cap. Eviction swaps on
-    * full heaps continue past the cap — they don't grow memory. */
-  private[graft] val MaxHeapRows = 65536
+    * purely a shuffle-volume optimization). The cap is derived ON THE
+    * EXECUTOR from its own heap and task slots (~8% of heap across
+    * slots at ~300 B/boxed row, floored at 64k): a 32-slot 8 GiB JVM
+    * gets ~70k/task (a flat 250k was measured to trip the GC-overhead
+    * limit at 64M URLs there), while a 2-slot 6 GiB executor gets ~850k
+    * and retains its whole partition — which matters in MULTI-EXECUTOR
+    * mode, where every bypassed row pays real serialization+TCP in the
+    * phase-1 shuffle (a flat 64k cap measured 4×2-executor throughput
+    * at ~59k urls/s vs ~100k without it; thread-mode hides that cost).
+    * A machine-derived cap cannot perturb results: bypass → exact
+    * ranking (valve completeness spec + schedule ≡ window property).
+    * Eviction swaps on full heaps continue past the cap — no growth. */
+  private[graft] val MaxHeapRowsAuto = -1
+  private[graft] def autoMaxHeapRows(): Int = {
+    val slots = math.max(1, Runtime.getRuntime.availableProcessors())
+    val byMem = (Runtime.getRuntime.maxMemory() * 0.08 / 300.0 / slots).toLong
+    math.max(65536L, math.min(4000000L, byMem)).toInt
+  }
 
   private[graft] def prefilter(unseen: Dataset[KeyedUrl],
       rules: Map[String, RobotsRule], budgetPerHost: Int,
       maxHeapHosts: Int = MaxHeapHosts, epochWindowSec: Long = 0L,
       sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None,
-      maxHeapRows: Int = MaxHeapRows)
+      maxHeapRows: Int = MaxHeapRowsAuto)
       : Dataset[(KeyedUrl, String, Int)] = {
     val spark = unseen.sparkSession
     import spark.implicits._
     val bc = sharedRules.getOrElse(spark.sparkContext.broadcast(rules))
     implicit val ordKey: Ordering[KeyedUrl] = Ordering.by(
       (k: KeyedUrl) => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+    val capParam = maxHeapRows
     unseen.mapPartitions { rows =>
+      // resolved on the EXECUTOR: its heap/slots, not the driver's
+      val cap = if (capParam > 0) capParam else autoMaxHeapRows()
       val heaps = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.PriorityQueue[KeyedUrl]]
       var retained = 0
@@ -192,7 +204,7 @@ object Politeness {
             val hostBudget = effectiveBudget(bc.value, r.host,
               budgetPerHost, epochWindowSec)
             if (h.size < hostBudget) {
-              if (retained >= maxHeapRows) // row valve: no growth left
+              if (retained >= cap) // row valve: no growth left
                 Iterator.single((r, Sched.Survivor, 0))
               else { h.enqueue(r); retained += 1; Iterator.empty }
             // h.nonEmpty guard: a zero host budget (legal config — "defer
