@@ -167,7 +167,29 @@ object Politeness {
     * Eviction swaps on full heaps continue past the cap — no growth. */
   private[graft] val MaxHeapRowsAuto = -1
   private[graft] def autoMaxHeapRows(): Int = {
-    val slots = math.max(1, Runtime.getRuntime.availableProcessors())
+    // task slots = executor cores / task cpus from the live SparkConf —
+    // visible cores over-count slots in containers (cgroup quotas) and
+    // under-count the per-task share when task.cpus > 1; fall back to
+    // availableProcessors only when no SparkEnv is live (unit contexts).
+    // Runs on the EXECUTOR, so the heap consulted is the executor's own.
+    val slots = {
+      val env = org.apache.spark.SparkEnv.get
+      val confSlots =
+        if (env == null) None
+        else {
+          val c = env.conf
+          val cores =
+            if (c.contains("spark.executor.cores")) Some(c.get("spark.executor.cores").toInt)
+            else if (c.get("spark.master", "").startsWith("local")) {
+              // local[N]: driver == executor; slots come from the master URL
+              "local\\[(\\d+)\\]".r.findFirstMatchIn(c.get("spark.master"))
+                .map(_.group(1).toInt)
+                .orElse(Some(Runtime.getRuntime.availableProcessors()))
+            } else None
+          cores.map(n => math.max(1, n / c.get("spark.task.cpus", "1").toInt))
+        }
+      confSlots.getOrElse(math.max(1, Runtime.getRuntime.availableProcessors()))
+    }
     val byMem = (Runtime.getRuntime.maxMemory() * 0.08 / 300.0 / slots).toLong
     math.max(65536L, math.min(4000000L, byMem)).toInt
   }

@@ -58,6 +58,19 @@ object ExprOps {
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
 
+  /** Power-of-2 open-addressing capacity for `n` entries at ≤0.5 load.
+    * Computed in Long: `n * 2` overflows Int for n > 2^30 (a ~2 GB
+    * single-char-token document is within UTF8String's limit), which
+    * left cap at 4 and spun the probe loop forever. Clamped at 2^30
+    * slots — beyond that the 8 GB table allocation fails loudly
+    * (OutOfMemoryError) instead of looping. */
+  @inline private def tableCap(n: Int): Int = {
+    val need = math.min(n.toLong * 2, 1L << 30)
+    var cap = 4L
+    while (cap < need) cap <<= 1
+    cap.toInt
+  }
+
   /** Document fingerprint: minimum of Rabin-Karp rolling hashes over all
     * `k`-byte windows (winnowing with a single global window — a compact,
     * shift-tolerant content fingerprint). Text shorter than k hashes whole. */
@@ -119,8 +132,7 @@ object ExprOps {
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array(fnv64(buf, 0, m)))
     val nWin = m - k + 1
-    var cap = 4
-    while (cap < nWin * 2) cap <<= 1
+    val cap = tableCap(nWin)
     val table = new Array[Long](cap) // open addressing; 0 = empty slot
     val out = new Array[Long](nWin)
     var cnt = 0
@@ -171,8 +183,7 @@ object ExprOps {
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
         .fromPrimitiveArray(Array(fnv64(buf, 0, m)))
     val nGrams = nTok - n + 1
-    var cap = 4
-    while (cap < nGrams * 2) cap <<= 1
+    val cap = tableCap(nGrams)
     val table = new Array[Long](cap)
     val out = new Array[Long](nGrams)
     var cnt = 0
@@ -221,8 +232,7 @@ object ExprOps {
     val nTok = if (m == 0) 0 else starts.length
     if (nTok < n) return 1L
     val nGrams = nTok - n + 1
-    var cap = 4
-    while (cap < nGrams * 2) cap <<= 1
+    val cap = tableCap(nGrams)
     val table = new Array[Long](cap) // open addressing; 0 = empty slot
     val counts = new Array[Long](cap)
     var best = 0L

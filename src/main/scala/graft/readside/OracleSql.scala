@@ -3,7 +3,7 @@ package graft.readside
 /** DuckDB oracle SQL for each SQL-expressible entry in [[Queries]].
   * Mirrors the Spark expression trees exactly (same aliases, same float
   * discipline, same total ORDER BY) so the driver's sorted-column value
-  * hash matches. Queries without an entry here (q26, q27, q30, q31 and the
+  * hash matches. Queries without an entry here (q26, q30, q31 and the
   * crawl pipeline) get the driver's rows-only check and are instead
   * verified by ScalaTest properties.
   */
@@ -456,6 +456,41 @@ object OracleSql {
       WHERE g.doc_id % 17 <> 3
       GROUP BY g.doc_id
       ORDER BY g.doc_id""",
+
+    // MinHash+LSH near-dup pairs: the engine's LSH buckets + prefix-filter
+    // completeness sweep make the output exactly "all pairs with
+    // Jaccard ≥ 0.35 over distinct 5-char shingles of the normalized text
+    // after stop-shingle (df > n/2) removal" — hash-independent, so the
+    // oracle recomputes it with STRING shingles and a relational
+    // intersection (hashed vs string shingle sets agree absent 64-bit
+    // collisions, the q42 convention; the engine shingles UTF-8 BYTES and
+    // the oracle chars — identical on these all-ASCII tables).
+    // All-integer threshold and value.
+    "q27_minhash_lsh" -> """
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(CASE WHEN length(s) < 5 THEN [s]
+                 ELSE list_distinct(list_transform(range(1, length(s) - 3),
+                        i -> substr(s, CAST(i AS INT), 5))) END) AS sg
+        FROM norm),
+      stop AS (
+        SELECT sg FROM sh CROSS JOIN n GROUP BY sg, nd HAVING count(*) > nd // 2),
+      f AS (SELECT doc_id, sg FROM sh WHERE sg NOT IN (SELECT sg FROM stop)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        FROM f a JOIN f b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST((i * 10000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1e4
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE 100 * i >= 35 * (sa.sz + sb.sz - i)
+      ORDER BY id_a, id_b""",
 
     "q43_stratified_sample" -> """
       WITH r AS (

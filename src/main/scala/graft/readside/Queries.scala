@@ -35,7 +35,15 @@ object Queries {
     * fraction of all rows, so "the result is tiny" does not hold for the
     * clustering output at 100 TB). The scratch dir is reaped at JVM exit. */
   private def materialize(s: SparkSession, df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toFile
+    // scratch base: graft.scratch.dir property (set by graft.Bench to the
+    // tmpfs base) > SPARK_GRAFT_BENCH_DIR env > java.io.tmpdir — the JVM
+    // default may sit on slow disk, and q46/q47/q50 all pay this write
+    val base = (sys.props.get("graft.scratch.dir") ++
+        sys.env.get("SPARK_GRAFT_BENCH_DIR")).iterator
+      .map(java.nio.file.Paths.get(_))
+      .find(p => java.nio.file.Files.isDirectory(p) && java.nio.file.Files.isWritable(p))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val dir = java.nio.file.Files.createTempDirectory(base, "graft-mat").toFile
     sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(dir))
     df.write.mode("overwrite").parquet(dir.toString)
     s.read.parquet(dir.toString)
@@ -339,8 +347,11 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash + LSH banding near-dup candidates, verified by exact Jaccard.
-    * Spark-only. Relational shape (the one that scales AND stays inside
+  /** MinHash + LSH banding near-dup pairs, exact-recall-completed by a
+    * prefix-filter sweep and verified by exact Jaccard — output contract:
+    * ALL pairs with shingle-Jaccard ≥ 0.35 (after stop-shingle removal),
+    * value-exact against the DuckDB string-shingle oracle as integer
+    * `jaccard_x1e4`. Relational shape (the one that scales AND stays inside
     * whole-stage codegen): explode shingles once → hash-aggregate the
     * 16-wide signature (min per seed) → band keys → band self-join for
     * candidates → relational jaccard (shingle equi-join intersection
@@ -425,22 +436,50 @@ object Queries {
     val banded = sig.select(col("doc_id"), col("sz"),
       explode(array(bandKeys: _*)).as("band"))
       .select(col("doc_id"), col("sz"), col("band.band_i"), col("band.band_key"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val lshCand = banded.as("a").join(banded.as("b"),
         col("a.band_i") === col("b.band_i") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // completeness sweep — prefix filtering (Chaudhuri et al. SSJoin /
+    // Bayardo et al. All-Pairs): under ANY fixed total order on the
+    // shingle universe (ascending 64-bit hash here), two sets with
+    // overlap i share an element among each one's first |S|−i+1
+    // elements; J ≥ 0.35 forces i ≥ ⌈0.35·|S|⌉ for BOTH sets, so every
+    // θ-similar pair shares a prefix shingle. Unioning these candidates
+    // with the LSH buckets makes the final θ-filtered output
+    // hash-independent — exactly "all pairs with Jaccard ≥ 0.35", the
+    // contract the DuckDB string-shingle oracle checks value-for-value.
+    // Scale story: LSH stays the linear-cost primary path; the sweep is
+    // the deliberately df²-quadratic exact-recall term (its join volume
+    // is Σ df_prefix² over non-stop shingles), the knob a 100 TB run
+    // turns off to accept LSH's probabilistic recall. The prefix rank
+    // window and the signature agg share one doc_id exchange
+    // (ReuseExchange); all integer arithmetic (⌈35·sz/100⌉ as
+    // (35·sz+99) DIV 100) so the boundary never compares doubles.
+    val sizes = sig.select(col("doc_id"), col("sz"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("shingle"))
+    val pref = exploded
+      .withColumn("rk", row_number().over(wp))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <= expr("sz - (35 * sz + 99) DIV 100 + 1"))
+      .select(col("doc_id"), col("shingle"))
+    val prefCand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = lshCand.unionByName(prefCand)
       .distinct()
-      .persist() // reused by both the jaccard join and the final join
+      .persist() // reused by the expansion join below
     // relational jaccard: |A∩B| driven from the candidate-pair table —
     // NOT a raw shingle self-join, which blows up quadratically on
     // high-document-frequency shingles (every common shingle pairs all
     // docs containing it). Expanding pairs→(pair, left-shingle) and
     // hash-joining on (right-doc, shingle) keeps the row count at
     // |pairs| × avg-shingles, independent of shingle popularity.
-    // the candidate pair list is BROADCAST into the expansion join (it is
-    // LSH-bounded by design), so the cached shingle table streams through
+    // the candidate pair list is BROADCAST into the expansion join (LSH
+    // buckets plus the prefix sweep keep it far below the all-pairs
+    // square), so the cached shingle table streams through
     // a narrow pass instead of shuffling on doc_id; the second join —
     // whose left side grows with |pairs|×shingles — stays a shuffle join,
     // the scale-safe choice
@@ -451,11 +490,16 @@ object Queries {
         Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val out = cand.join(inter, Seq("id_a", "id_b"))
-      .withColumn("jaccard", round(col("n_inter") /
-        (col("sz_a") + col("sz_b") - col("n_inter")), 4))
-      .filter(col("jaccard") >= 0.35)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // jaccard ×10⁴ in INTEGER space (q23/q46 convention): the threshold
+    // compares 100·i ≥ 35·|A∪B| and the reported value floors
+    // i·10⁴ DIV |A∪B| — no double ever crosses an engine boundary
+    val out = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(lit(100) * col("n_inter") >= lit(35) * col("n_union"))
+      .select(col("id_a"), col("id_b"),
+        expr("(n_inter * 10000) DIV n_union").as("jaccard_x1e4"))
     // materialize to scratch parquet, then release every intermediate
     // cache — without this a bench/verify session silently carries three
     // cached datasets per q27 call for its whole life. No driver collect:
@@ -1162,24 +1206,25 @@ object Queries {
   def connectedComponents(s: SparkSession, pairsIn: DataFrame): DataFrame = {
     // materialize the pair list ONCE and cut its lineage: edges references
     // pairs twice (forward + swapped) and every propagation round
-    // references edges again — without the checkpoint each round's plan
-    // embeds several copies of the pair-producing subtree (measured: OOM
-    // at sf0.1 from concurrent broadcast/sort copies). The pair list is
-    // the dedup signal, tiny relative to the corpus; at cluster scale the
-    // same cut is "write the pair table, read it back".
-    val pairs = pairsIn.select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val edges = pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // references edges again — without the cut each round's plan embeds
+    // several copies of the pair-producing subtree (measured: OOM at sf0.1
+    // from concurrent broadcast/sort copies). The cut is STORAGE-BACKED
+    // (scratch parquet), not localCheckpoint: local checkpoints live in
+    // executor block storage, so on a real cluster an executor loss
+    // mid-loop kills the job and the blocks pin executor memory for the
+    // loop's whole life.
+    val pairs = materialize(s, pairsIn.select(col("id_a"), col("id_b")))
+    val edges = materialize(s, pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
       .persist()
-    // each round MUST cut lineage (localCheckpoint), not merely cache:
+    // each round MUST cut lineage (scratch parquet), not merely cache:
     // `labels` appears three times in a round's plan (propagation union,
     // join, convergence check), so without the cut the analyzed logical
     // plan TREBLES per round — exponential plan growth that OOMs the
     // driver long before the data (bytes) matters. Caching does not help:
     // Spark still carries and re-analyzes the full logical tree.
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
+    var labels = materialize(s, edges.select(col("id_a").as("id")).distinct()
+      .withColumn("rep", col("id")))
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -1192,9 +1237,8 @@ object Queries {
       // tiny diameters, so the extra join per round buys nothing; kept
       // out per the negative-results record. It, or large-star/small-star,
       // is the swap-in if component diameters ever grow adversarial.)
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+      val next = materialize(s, labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")))
       changed = next
         .join(labels.select(col("id"), col("rep").as("old")), Seq("id"))
         .filter(col("rep") =!= col("old")).count()
@@ -1216,7 +1260,7 @@ object Queries {
     // labeled node set is NOT small relative to the corpus on a high-dup
     // corpus — never materialize it on the driver
     val result = materialize(s, out)
-    edges.unpersist(); labels.unpersist()
+    edges.unpersist()
     result
   }
 }

@@ -68,12 +68,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q42: benchmark gram set broadcasts; corpus grams never shuffle") {
-    val p = plan(Queries.q42Contamination(spark, dir))
+    // executedPlan: Exchange nodes exist only post-EnsureRequirements, so
+    // the negative shuffle-key pins are vacuous on sparkPlan
+    val p = planExec(Queries.q42Contamination(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "bench gram set must broadcast")
-    // the only hash exchange is the per-doc matched-gram count — its key
-    // is doc_id, never the gram stream or document text
-    assert(!p.contains("hashpartitioning(ng"),
-      "corpus gram stream must not shuffle")
+    // exactly ONE exchange on the gram key is allowed: the BENCH set's
+    // dedup (eval suites are fixed-size regardless of corpus scale). The
+    // CORPUS gram stream must hit the broadcast table map-side — a second
+    // ng exchange, or any SMJ, means the corpus side started shuffling
+    assert("Exchange hashpartitioning\\(ng".r.findAllIn(p).size == 1,
+      "corpus gram stream must not shuffle (only the bench dedup may)")
+    assert(!p.contains("SortMergeJoin"), "gram join must not sort-merge")
     assert(!p.contains("keys=[text"), "document text must never be a key")
     assert(p.contains("partial_count"), "map-side partial agg expected")
   }
@@ -86,7 +91,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q45: vocabulary head joins broadcast; only the Zipf tail shuffles on w") {
-    val p = plan(Queries.q45UnigramXent(spark, dir))
+    // executedPlan for the same reason as q42: shuffle pins need Exchanges
+    val p = planExec(Queries.q45UnigramXent(spark, dir))
     // head hit + head anti-membership + the 1-row total: all broadcast
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "head vocab join and anti-join must broadcast")

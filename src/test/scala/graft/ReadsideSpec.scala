@@ -90,12 +90,41 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
-  test("q27 minhash-LSH finds pairs that exact jaccard confirms (no junk)") {
-    val pairs = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
-    // every emitted pair already re-verified >= 0.35 by construction;
-    // check the verification column is present and within range
-    val bad = pairs.filter($"jaccard" < 0.35 || $"jaccard" > 1.0).count()
-    assert(bad == 0)
+  test("q27 minhash-LSH+prefix-sweep EQUALS brute-force exact jaccard >= 0.35 pairs") {
+    // independent oracle: plain Scala string shingles, stop-shingle
+    // removal, exact set intersection over ALL pairs — proves the
+    // prefix-filter completeness sweep (no pair LSH missed is absent)
+    // and the integer jaccard arithmetic, not just "no junk"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val s = t.toLowerCase.replaceAll("\\s+", " ")
+      if (s.length < 5) Set(s) else s.sliding(5).toSet
+    }
+    val raw = docs.filter(_._2 != null).map { case (id, t) => id -> shingles(t) }
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    raw.foreach(_._2.foreach(sg => df(sg) = df.getOrElse(sg, 0) + 1))
+    val n = docs.length
+    val stop = df.collect { case (sg, d) if d > n / 2 => sg }.toSet
+    val sets = raw.map { case (id, ss) => id -> (ss -- stop) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val brute = (for {
+      i <- sets.indices.iterator
+      j <- ((i + 1) until sets.length).iterator
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if 100 * inter >= 35 * union
+    } yield ((ida, idb), inter * 10000 / union)).toMap
+    val got = SparkEntry.queries("q27_minhash_lsh")(spark, dir)
+      .select($"id_a", $"id_b", $"jaccard_x1e4")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(got == brute,
+      s"missing=${(brute.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(3)} " +
+        s"valueDiff=${brute.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(3)}")
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
   }
 
   test("q28 brute-force knn: query vector itself ranks first with cos 1.0") {
