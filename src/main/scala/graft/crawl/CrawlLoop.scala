@@ -110,7 +110,13 @@ object CrawlLoop {
             .filter(_.n_candidates > 0)
             .map(p => p.n_seen_skipped.toDouble / p.n_candidates)
             .getOrElse(0.0)
-          val m = runEpochWatched(spark, cfg, e, store, priorSeenFrac)
+          // carried-row estimate for the frontier-cache tier: the cached
+          // frame is newKeyed ∪ deferred ∪ retry, which under tight host
+          // budgets exceeds urlsPerEpoch by the carried share
+          val priorCarried = prior.map(p => p.n_deferred + p.n_failed)
+            .getOrElse(0L)
+          val m = runEpochWatched(spark, cfg, e, store, priorSeenFrac,
+            priorCarried)
           prior = Some(m)
           out += m
           // automatic small-files maintenance: without it a 10^4-epoch
@@ -137,16 +143,17 @@ object CrawlLoop {
     * write a FAILED marker (no commit marker — resume replays the epoch
     * idempotently) and raise. */
   def runEpochWatched(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
-      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0): EpochMetrics = {
+      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0,
+      priorCarried: Long = 0L): EpochMetrics = {
     if (cfg.stuckTimeoutMs == Long.MaxValue)
-      return runEpoch(spark, cfg, epoch, store, priorSeenFrac)
+      return runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried)
     val group = s"graft-epoch-$epoch"
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val fut = Future {
       spark.sparkContext.setJobGroup(group, s"epoch $epoch", interruptOnCancel = true)
-      try runEpoch(spark, cfg, epoch, store, priorSeenFrac)
+      try runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried)
       finally spark.sparkContext.clearJobGroup()
     }
     try Await.result(fut, cfg.stuckTimeoutMs.millis)
@@ -175,7 +182,8 @@ object CrawlLoop {
   }
 
   def runEpoch(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
-      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0): EpochMetrics = {
+      store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0,
+      priorCarried: Long = 0L): EpochMetrics = {
     import spark.implicits._
     val tEpoch0 = System.nanoTime()
 
@@ -228,10 +236,22 @@ object CrawlLoop {
       case Some("ser")  => StorageLevel.MEMORY_AND_DISK_SER
       case Some("disk") => StorageLevel.DISK_ONLY
       case _ =>
-        val heap = Runtime.getRuntime.maxMemory()
-        if (cfg.urlsPerEpoch * 224L <= (heap * 0.35).toLong)
+        // footprint = new slice + CARRIED rows (deferred+retry from the
+        // prior epoch's counts — under tight/zero host budgets the carry
+        // dominates urlsPerEpoch, and sizing on the slice alone kept
+        // MEMORY_AND_DISK in exactly the GC-overhead regime this tier
+        // switch exists to prevent); memory = where the blocks LIVE —
+        // executor heap from the conf in cluster mode, this JVM's heap
+        // only when local (driver == executor there)
+        val estRows = cfg.urlsPerEpoch + priorCarried
+        val conf = spark.sparkContext.getConf
+        val heap =
+          if (conf.get("spark.master", "local").startsWith("local["))
+            Runtime.getRuntime.maxMemory()
+          else conf.getSizeAsBytes("spark.executor.memory", "1g")
+        if (estRows * 224L <= (heap * 0.35).toLong)
           StorageLevel.MEMORY_AND_DISK
-        else if (cfg.urlsPerEpoch * 96L <= (heap * 0.25).toLong)
+        else if (estRows * 96L <= (heap * 0.25).toLong)
           StorageLevel.MEMORY_AND_DISK_SER
         else StorageLevel.DISK_ONLY
     }

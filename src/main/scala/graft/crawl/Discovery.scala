@@ -57,6 +57,41 @@ object Discovery {
     (Some(LocalDate.ofEpochDay(b)), probes)
   }
 
+  /** Latest-available-date scan-back (SitemapDiscoveryService.java:247-270):
+    * walk back from `today − 1` up to `maxDaysBack` days and return the
+    * FIRST available date; when nothing in the window answers, the
+    * reference's fallback of `today − 7` is returned with found=false.
+    * Probe count ≤ maxDaysBack — recent dates are expected to exist, so
+    * a linear walk from the horizon beats a log-structured search here
+    * (typical cost: 1-2 probes), while [[binarySearchEarliest]] owns the
+    * far end where linear scanning would probe years. Driver-side like
+    * the reference; returns (date, probesUsed, found). */
+  def scanBackLatest(today: LocalDate, probe: LocalDate => Boolean,
+      maxDaysBack: Int = 30): (LocalDate, Int, Boolean) = {
+    var i = 0
+    while (i < maxDaysBack) {
+      val d = today.minusDays(1L + i)
+      if (probe(d)) return (d, i + 1, true)
+      i += 1
+    }
+    (today.minusDays(7), maxDaysBack, false)
+  }
+
+  /** Both-ends bounded discovery: the latest date via [[scanBackLatest]]
+    * and the earliest via [[binarySearchEarliest]] over [lo, latest] —
+    * the composition the reference runs before expanding a crawl range
+    * (discoverAvailableSitemaps bounds from both ends). None when the
+    * scan-back window has no content or nothing in [lo, latest] is
+    * available; total probes returned for the probe-budget assertions. */
+  def discoverBounds(lo: LocalDate, today: LocalDate,
+      probe: LocalDate => Boolean, maxDaysBack: Int = 30)
+      : (Option[(LocalDate, LocalDate)], Int) = {
+    val (latest, p1, found) = scanBackLatest(today, probe, maxDaysBack)
+    if (!found) return (None, p1)
+    val (earliest, p2) = binarySearchEarliest(lo, latest, probe)
+    (earliest.map(e => (e, latest)), p1 + p2)
+  }
+
   /** Distributed batched probe of [start, end]: one task per partition of
     * the date range, each date probed executor-side. Returns
     * (date, available) — the availability table the frontier expansion

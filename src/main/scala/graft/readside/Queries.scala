@@ -213,14 +213,27 @@ object Queries {
       .orderBy(col("o_orderdate").desc, col("o_orderkey"))
       .offset(40).limit(20)
 
-  /** §3.2 search: multi-field contains + facet filter + top-k. */
+  /** §3.2 search: multi-field contains + facet filter + top-k. The fixed
+    * benched/oracled query routes through the SANITIZED raw-string entry
+    * point, so the hostile-input boundary is always live. */
   def q17Search(s: SparkSession, dir: String): DataFrame =
+    q17SearchFor(s, dir, "spark join")
+
+  /** [[q17Search]] over a RAW user query string: terms recovered by
+    * [[graft.functions.QuerySanitizer.searchTerms]] (the reference's
+    * escape/quote layer inverted for a literal engine); a query with no
+    * searchable terms returns zero rows instead of the match-everything
+    * `contains("")`. */
+  def q17SearchFor(s: SparkSession, dir: String, rawQuery: String): DataFrame = {
+    val terms = graft.functions.QuerySanitizer.searchTerms(rawQuery)
+    val pred = terms.map(t => col("text").contains(t))
+      .reduceOption(_ || _).getOrElse(lit(false))
     t(s, dir, "documents")
-      .filter((col("text").contains("spark") || col("text").contains("join")) &&
-        col("lang") === "en")
+      .filter(pred && col("lang") === "en")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("n_chars").desc, col("doc_id"))
       .limit(20)
+  }
 
   /** A1: count-by-facet. */
   def q18SourceFacet(s: SparkSession, dir: String): DataFrame =
@@ -569,16 +582,26 @@ object Queries {
     * `nprobe` nearest inverted lists and exact-reranks within them.
     * Scale shape: assignment is embarrassingly parallel; each list holds
     * ~n/K vectors, probe cost nprobe·n/K ≪ n; K grows with the corpus
-    * (K ≈ √n is the standard choice). nprobe is K/2 here because the
-    * synthetic embeddings are only weakly clustered — real corpora run
-    * nprobe ≈ K/16 at much higher recall. Spark-only; ReadsideSpec checks
-    * recall@10 against the exact q28 top-k. */
-  def q38IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    * (K ≈ √n is the standard choice). nprobe is K/2 on the BENCHED table
+    * because the synthetic embeddings are only weakly clustered — real
+    * corpora run nprobe ≈ K/8..K/16 at much higher recall, and
+    * ReadsideSpec DEMONSTRATES that on a clustered fixture (recall@10 ≥
+    * 0.8 at nprobe = K/8) rather than asserting it. ReadsideSpec also
+    * checks recall@10 against the exact q28 top-k on the real table. */
+  def q38IvfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfAnnOver(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      7L, k => math.max(2, k / 2))
+
+  /** [[q38IvfAnn]]'s engine over any (vec_id, embedding) frame with a
+    * caller-chosen nprobe policy — the spec feeds a clustered fixture at
+    * the honest nprobe = K/8 here. */
+  private[graft] def ivfAnnOver(s: SparkSession, embIn: DataFrame,
+      queryId: Long, nprobeOf: Int => Int): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val k = math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-    val nprobe = math.max(2, k / 2)
+    val nprobe = math.max(1, nprobeOf(k))
     // deterministic centroid sample: k corpus vectors ranked by key hash
     val cents = emb.withColumn("r__", xxhash64(col("vec_id")))
       .orderBy(col("r__"), col("vec_id")).limit(k)
@@ -596,7 +619,7 @@ object Queries {
         (id, bestC, v)
       }
     }.toDF("vec_id", "cid", "embedding")
-    val qv = emb.filter(col("vec_id") === 7)
+    val qv = emb.filter(col("vec_id") === queryId)
       .as[(Long, Array[Float])].head()._2
     val probeCids = cents
       .map { case (cid, cv) => (cid, SimilarityFunctions.cosineLocal(qv, cv)) }
@@ -949,35 +972,44 @@ object Queries {
     * dominant I/O at 100 TB. Integer-scaled ×10⁴ score, ordered and CUT
     * by the integer (both engines), so the top-k boundary never rides a
     * double comparison. */
-  def q46Bm25Search(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "window", "vector")
-    // [n_tokens, tf(spark), tf(window), tf(vector)] in ONE tokenize pass
-    // (native codegen TermFreqsExpr) — vs 1 + k split/array_remove scans
-    // of every document; the materialized slim table is projected from
-    // the array AFTER the scratch write so the kernel runs once per row.
+  def q46Bm25Search(s: SparkSession, dir: String): DataFrame =
+    q46Bm25SearchFor(s, dir, "spark window vector")
+
+  /** [[q46Bm25Search]] over a RAW user query string, k-term general:
+    * terms recovered by [[graft.functions.QuerySanitizer.searchTerms]]
+    * (empty/duplicate terms would otherwise match everything /
+    * double-count contributions). Contributions are summed in sanitized
+    * term order — fixed-input results byte-identical to the fixed-term
+    * form the oracle checks. */
+  def q46Bm25SearchFor(s: SparkSession, dir: String, rawQuery: String): DataFrame = {
+    val terms = graft.functions.QuerySanitizer.searchTerms(rawQuery)
+    require(terms.nonEmpty, s"no searchable terms in query: '$rawQuery'")
+    val k = terms.length
+    // [n_tokens, tf(t_0), …, tf(t_{k-1})] in ONE tokenize pass (native
+    // codegen TermFreqsExpr) — vs 1 + k split/array_remove scans of
+    // every document; the materialized slim table is projected from the
+    // array AFTER the scratch write so the kernel runs once per row.
     val perdoc = materialize(s, t(s, dir, "documents").select(
       col("doc_id"),
       GraftFunctions.termFreqs(col("text"), terms).as("tf")))
-      .select(col("doc_id"),
-        element_at(col("tf"), 1).cast("double").as("dl"),
-        element_at(col("tf"), 2).cast("double").as("f0"),
-        element_at(col("tf"), 3).cast("double").as("f1"),
-        element_at(col("tf"), 4).cast("double").as("f2"))
+      .select(col("doc_id") +:
+        element_at(col("tf"), 1).cast("double").as("dl") +:
+        (0 until k).map(i =>
+          element_at(col("tf"), i + 2).cast("double").as(s"f$i")): _*)
     val glob = perdoc.agg(
-      count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"),
-      count(when(col("f0") > 0, 1)).cast("double").as("df0"),
-      count(when(col("f1") > 0, 1)).cast("double").as("df1"),
-      count(when(col("f2") > 0, 1)).cast("double").as("df2"))
+      count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl") +:
+        (0 until k).map(i =>
+          count(when(col(s"f$i") > 0, 1)).cast("double").as(s"df$i")): _*)
     def contrib(fc: org.apache.spark.sql.Column,
         dfc: org.apache.spark.sql.Column) =
       log((col("n") - dfc + 0.5) / (dfc + 0.5) + 1) * (fc * 2.2) /
         (fc + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
-    perdoc.filter(col("f0") + col("f1") + col("f2") > 0)
+    perdoc.filter((0 until k).map(i => col(s"f$i")).reduce(_ + _) > 0)
       .crossJoin(broadcast(glob))
       .select(col("doc_id"),
-        floor((contrib(col("f0"), col("df0")) +
-          contrib(col("f1"), col("df1")) +
-          contrib(col("f2"), col("df2"))) * 10000 + 0.5)
+        floor((0 until k).map(i => contrib(col(s"f$i"), col(s"df$i")))
+          .reduce(_ + _) * 10000 + 0.5)
           .cast("bigint").as("bm25_e4"))
       .orderBy(col("bm25_e4").desc, col("doc_id"))
       .limit(20)

@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
   * which the north rule's sink implies) + optional compaction:
   *
   *  - [[delete]] appends the deleted url_hashes to an exact tombstone
-  *    table and folds them into a persistent delete-capable
-  *    [[CuckooFilter]] segment. O(deletes), touches no store partition.
-  *  - [[applyTombstones]] is the read-side merge: a broadcast cuckoo
-  *    probe marks the (few) possibly-deleted rows, and ONLY those are
-  *    anti-joined against the exact tombstone table — the same
-  *    two-tier shape as the bloom seen-probe, but with a cuckoo because
-  *    blooms cannot delete (SURVEY.md §2.10). Cuckoo negatives skip the
-  *    join entirely, so membership stays byte-exact (no false negatives)
-  *    while the join sees only the fp-rate sliver.
+  *    table and rebuilds the persistent delete-capable [[CuckooFilter]]
+  *    SEGMENTS from it — per-bucket, built by a 2-phase distributed pass
+  *    (shuffle keys by derived bucket, each partition builds the filters
+  *    of the buckets it owns — the [[SeenSet.bloomSegments]] shape; a
+  *    cuckoo has no OR-union, so segmentation, not merging, is what
+  *    keeps the build distributed). NOTHING key-sized ever reaches the
+  *    driver: a deleteByQuery-scale purge (S10's second form, 10^8+
+  *    keys) streams through executors; the driver sees one count.
+  *  - [[applyTombstones]] is the read-side merge: a broadcast
+  *    cuckoo-segment probe marks the (few) possibly-deleted rows, and
+  *    ONLY those are confirmed against the exact tombstone table via the
+  *    INVERTED broadcast join (tombstones LEFT SEMI broadcast(sliver),
+  *    then sliver LEFT ANTI broadcast(hits)) — the tombstone table is
+  *    scanned, never shuffled, never collected; the same two-tier shape
+  *    as the bloom seen-probe, but with a cuckoo because blooms cannot
+  *    delete (SURVEY.md §2.10). Cuckoo negatives skip the join entirely,
+  *    so membership stays byte-exact (no false negatives) while the join
+  *    sees only the fp-rate sliver.
   *  - [[compact]] rewrites exactly the store partitions that contain
   *    tombstoned keys (partition-level rewrite, others untouched) and
   *    clears the tombstones — the maintenance path that keeps the MOR
@@ -35,78 +44,153 @@ object SeenDeletes {
   private def fs(spark: SparkSession, workDir: String) =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Tombstone the given url_hashes (column "url_hash"). Idempotent. */
+  /** Segment bucket of a key: pure function of the hash (NOT host_bucket —
+    * tombstone inputs carry only url_hash), identical on the build and
+    * probe sides. `nSegs` is a power of two. */
+  @inline private def segBucket(h: Long, nSegs: Int): Int =
+    (graft.expressions.ExprOps.mix(h ^ 0x5851f42d4c957f2dL) & (nSegs - 1)).toInt
+
+  /** Tombstone the given url_hashes (column "url_hash"). Idempotent.
+    * Fully distributed: the hash frame is appended to the tombstone
+    * parquet and the cuckoo segments are rebuilt from the whole table
+    * executor-side — the driver materializes only row counts. */
   def delete(spark: SparkSession, workDir: String, hashes: DataFrame): Long = {
-    import spark.implicits._
-    val hs = hashes.select(col("url_hash").cast("long")).as[Long].collect()
-    if (hs.isEmpty) return 0L
+    val hs = hashes.select(col("url_hash").cast("long").as("url_hash"))
+    val n = hs.count()
+    if (n == 0L) return 0L
     // exact tombstone table (append, dedup on read)
-    hs.toSeq.toDF("url_hash")
-      .write.mode(SaveMode.Append).parquet(tombDir(workDir))
-    // cuckoo segment: load-or-create, insert, atomically replace
-    val f = loadCuckoo(spark, workDir)
-      .getOrElse(CuckooFilter.create(math.max(1024L, hs.length * 8L)))
-    val grown =
-      if (hs.forall(f.insert)) f
-      else { // table too full: rebuild larger from the exact tombstones
-        val all = spark.read.parquet(tombDir(workDir))
-          .select(col("url_hash")).as[Long].collect()
-        val big = CuckooFilter.create(math.max(4096L, all.length * 8L))
-        all.foreach(big.insert)
-        big
-      }
-    writeCuckoo(spark, workDir, grown)
-    hs.length.toLong
+    hs.write.mode(SaveMode.Append).parquet(tombDir(workDir))
+    rebuildCuckooSegments(spark, workDir)
+    n
+  }
+
+  /** Rebuild the per-bucket cuckoo segments from the full tombstone table
+    * (2-phase: shuffle by derived bucket, build per partition, write as a
+    * (bucket, seg) parquet replaced atomically via tmp+rename). O(total
+    * tombstones) of EXECUTOR work per delete batch — the table is cleared
+    * by [[compact]], so it never grows past one maintenance cycle. */
+  private def rebuildCuckooSegments(spark: SparkSession, workDir: String): Unit = {
+    import spark.implicits._
+    val tombs = spark.read.parquet(tombDir(workDir)).select(col("url_hash"))
+    val total = tombs.count()
+    // ~2M keys (≈4 MB cuckoo table) per segment; pow2 for the mask
+    var nSegs = 8
+    while (nSegs * 2000000L < total && nSegs < 4096) nSegs <<= 1
+    val k = nSegs
+    val bucketOf = udf((h: Long) => segBucket(h, k))
+    val segs = tombs
+      .repartition(k, bucketOf(col("url_hash")))
+      .as[Long]
+      .mapPartitions { rows =>
+        // buffer + local dedup per bucket (bounded: ≤ ~2M keys/segment)
+        val byBucket = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.HashSet[Long]]
+        rows.foreach { h =>
+          byBucket.getOrElseUpdate(segBucket(h, k),
+            scala.collection.mutable.HashSet.empty[Long]).add(h)
+        }
+        byBucket.iterator.map { case (b, keys) =>
+          var mult = 1L
+          var f = CuckooFilter.create(keys.size.toLong)
+          while (!keys.forall(f.insert)) {
+            // unlucky fingerprint collisions: grow 4× and retry
+            mult *= 4
+            f = CuckooFilter.create(keys.size.toLong * mult)
+          }
+          (b, k, f.serialize())
+        }
+      }.toDF("bucket", "nsegs", "seg")
+    val fsys = fs(spark, workDir)
+    val tmp = new Path(cuckooPath(workDir).toString + ".tmp")
+    segs.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fsys.delete(cuckooPath(workDir), true)
+    fsys.rename(tmp, cuckooPath(workDir))
+  }
+
+  /** Load + OR-collect the segment map for broadcasting. Segment BYTES
+    * (~2.2 B per tombstoned key) are the only thing collected — the
+    * bloom-broadcast envelope, never the keys. Self-healing: a crash
+    * between the tombstone append and the segment write leaves the
+    * table newer than the segments; rebuild covers it. */
+  private def loadSegments(spark: SparkSession, workDir: String)
+      : Option[(Int, Map[Int, CuckooFilter])] = {
+    import spark.implicits._
+    val fsys = fs(spark, workDir)
+    if (!fsys.exists(new Path(tombDir(workDir)))) return None
+    if (!fsys.exists(cuckooPath(workDir))) rebuildCuckooSegments(spark, workDir)
+    val rows = spark.read.parquet(cuckooPath(workDir).toString)
+      .select(col("bucket").cast("int"), col("nsegs").cast("int"), col("seg"))
+      .as[(Int, Int, Array[Byte])].collect()
+    // nsegs is persisted per row (empty buckets write no row, so the
+    // segment-count mask can NOT be inferred from the occupied buckets —
+    // a wrong mask routes probes to absent segments = false negatives)
+    val nSegs = rows.headOption.map(_._2).getOrElse(8)
+    Some((nSegs, rows.groupBy(_._1).map { case (b, ss) =>
+      b -> CuckooFilter.deserialize(ss.head._3)
+    }))
   }
 
   /** Merge-on-read: drop tombstoned rows from a seen frame
     * ("url_hash" keyed). Byte-exact (cuckoo prefilter + exact confirm). */
-  def applyTombstones(spark: SparkSession, workDir: String, seen: DataFrame): DataFrame = {
-    loadCuckoo(spark, workDir) match {
+  def applyTombstones(spark: SparkSession, workDir: String, seen: DataFrame): DataFrame =
+    loadSegments(spark, workDir) match {
       case None => seen
-      case Some(f) =>
-        // broadcast the FILTER, not its bytes: the broadcast value is
+      case Some((nSegs, segMap)) =>
+        // broadcast the FILTERS, not their bytes: the broadcast value is
         // deserialized once per executor and cached, so the probe is pure
-        // array reads per row (same pattern as the bloom seen-probe; a
-        // bytes broadcast + per-row deserialize rebuilds the whole table
-        // for every row probed)
-        val bc = spark.sparkContext.broadcast(f)
-        val maybeDeleted = udf((h: Long) => bc.value.contains(h))
+        // array reads per row (same pattern as the bloom seen-probe)
+        val bc = spark.sparkContext.broadcast(segMap)
+        val maybeDeleted = udf((h: Long) =>
+          bc.value.get(segBucket(h, nSegs)).exists(_.contains(h)))
         val tombs = spark.read.parquet(tombDir(workDir)).select(col("url_hash"))
         val flagged = seen.withColumn("maybe_del__", maybeDeleted(col("url_hash")))
         val kept = flagged.filter(!col("maybe_del__")).drop("maybe_del__")
-        val confirmSurvivors = flagged.filter(col("maybe_del__")).drop("maybe_del__")
-          .join(broadcast(tombs), Seq("url_hash"), "left_anti")
-        kept.unionByName(confirmSurvivors)
+        val sliver = flagged.filter(col("maybe_del__")).drop("maybe_del__")
+        // INVERTED confirm (the unseenTwoTierBroadcast shape): the
+        // tombstone table streams through one scan against the broadcast
+        // sliver keys — broadcasting `tombs` itself would put every
+        // tombstoned key on the driver, the deleteByQuery-scale OOM
+        val hits = tombs
+          .join(broadcast(sliver.select(col("url_hash"))), Seq("url_hash"), "left_semi")
+        val survivors = sliver.join(broadcast(hits), Seq("url_hash"), "left_anti")
+        kept.unionByName(survivors)
     }
-  }
 
   /** Physically rewrite exactly the seen partitions that contain
     * tombstoned keys, then clear the tombstones. `epochDirs` are the
-    * per-epoch seen directories ("$workDir/seen/epoch=N"). */
+    * per-epoch seen directories ("$workDir/seen/epoch=N"). Victim
+    * detection per partition = cuckoo prefilter + inverted exact
+    * confirm — a cuckoo false positive alone never triggers a rewrite,
+    * and no tombstone key is ever collected. */
   def compact(spark: SparkSession, workDir: String, epochDirs: Seq[String]): Unit = {
-    import spark.implicits._
     val fsys = fs(spark, workDir)
     if (!fsys.exists(new Path(tombDir(workDir)))) return
-    val tombs = spark.read.parquet(tombDir(workDir))
-      .select(col("url_hash")).distinct()
-    val tombSet = tombs.as[Long].collect().toSet
-    val bc = spark.sparkContext.broadcast(tombSet)
-    val isVictim = udf((h: Long) => bc.value.contains(h))
+    val (nSegs, segMap) = loadSegments(spark, workDir) match {
+      case Some(s) => s
+      case None => return
+    }
+    val bc = spark.sparkContext.broadcast(segMap)
+    val maybeVictim = udf((h: Long) =>
+      bc.value.get(segBucket(h, nSegs)).exists(_.contains(h)))
+    val tombs = spark.read.parquet(tombDir(workDir)).select(col("url_hash"))
     epochDirs.filter(d => fsys.exists(new Path(d))).foreach { d =>
       val part = spark.read.parquet(d)
-      // partition pruning: rewrite only if this partition holds a victim
-      val hit = part.filter(isVictim(col("url_hash"))).limit(1).count() > 0
+      val candidates = part.filter(maybeVictim(col("url_hash")))
+        .select(col("url_hash"))
+      // exact: does ANY tombstone match this partition's fp sliver?
+      val hit = tombs
+        .join(broadcast(candidates), Seq("url_hash"), "left_semi")
+        .limit(1).count() > 0
       if (hit) {
         val tmp = s"$d.compact.tmp"
-        part.filter(!isVictim(col("url_hash")))
+        applyTombstones(spark, workDir, part)
           .write.mode(SaveMode.Overwrite).parquet(tmp)
         fsys.delete(new Path(d), true)
         fsys.rename(new Path(tmp), new Path(d))
       }
     }
     fsys.delete(new Path(tombDir(workDir)), true)
-    fsys.delete(cuckooPath(workDir), false)
+    fsys.delete(cuckooPath(workDir), true)
   }
 
   // ---- seen-store consolidation (small-files maintenance) ----------------
@@ -180,26 +264,4 @@ object SeenDeletes {
     fsys.delete(consolidateMarker(workDir), false)
   }
 
-  private def loadCuckoo(spark: SparkSession, workDir: String): Option[CuckooFilter] = {
-    val fsys = fs(spark, workDir)
-    val p = cuckooPath(workDir)
-    if (!fsys.exists(p)) None
-    else {
-      val in = fsys.open(p)
-      val len = fsys.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      in.readFully(buf); in.close()
-      Some(CuckooFilter.deserialize(buf))
-    }
-  }
-
-  private def writeCuckoo(spark: SparkSession, workDir: String, f: CuckooFilter): Unit = {
-    val fsys = fs(spark, workDir)
-    val tmp = new Path(cuckooPath(workDir).toString + ".tmp")
-    val out = fsys.create(tmp, true)
-    out.write(f.serialize()); out.close()
-    val fin = cuckooPath(workDir)
-    if (fsys.exists(fin)) fsys.delete(fin, false)
-    fsys.rename(tmp, fin)
-  }
 }

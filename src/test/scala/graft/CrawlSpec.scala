@@ -725,6 +725,39 @@ class CrawlSpec extends SparkSpec {
     assert(!new java.io.File(s"$wd4/seen_tombstones.cuckoo").exists)
   }
 
+  test("S10 mass delete: 150k tombstones stay distributed end-to-end (no key ever on the driver)") {
+    import graft.seen.SeenDeletes
+    val wd = tmpDir()
+    // deleteByQuery-scale purge: the victim set is a DataFrame predicate
+    // result, never a driver Seq; delete + merge-on-read + compact must
+    // all run with only counts/filter-bytes reaching the driver
+    val seen = spark.range(400000).select(
+      (col("id") * 2654435761L).as("url_hash"),
+      (col("id") % 8).cast("int").as("host_bucket"))
+    seen.write.parquet(s"$wd/seen/epoch=0")
+    val store = spark.read.parquet(s"$wd/seen/epoch=0")
+    val victims = store.filter(pmod(col("url_hash"), lit(8L)) < 3)
+      .select("url_hash")
+    val nVictims = victims.count()
+    assert(nVictims > 140000L, s"fixture under-sized: $nVictims")
+    val deleted = SeenDeletes.delete(spark, wd, victims)
+    assert(deleted == nVictims)
+    // merge-on-read ≡ plain anti-join, value-exact at this volume
+    val mor = SeenDeletes.applyTombstones(spark, wd, store)
+    val expect = store.join(victims, Seq("url_hash"), "left_anti")
+    assert(mor.count() == expect.count())
+    assert(mor.join(victims, Seq("url_hash"), "left_semi").count() == 0,
+      "a tombstoned key survived the merge-on-read view")
+    // compaction rewrites the partition and the physical store matches
+    // (victim check re-derived from the predicate — the lazy `victims`
+    // frame would re-read the now-rewritten store and assert vacuously)
+    SeenDeletes.compact(spark, wd, Seq(s"$wd/seen/epoch=0"))
+    val physical = spark.read.parquet(s"$wd/seen/epoch=0")
+    assert(physical.count() == 400000L - nVictims)
+    assert(physical.filter(pmod(col("url_hash"), lit(8L)) < 3).count() == 0)
+    assert(!new java.io.File(s"$wd/seen_tombstones").exists)
+  }
+
   test("mega-host skew: prefilter bounds the shuffle input; schedule stays exact") {
     val n = 60000
     val budget = 50

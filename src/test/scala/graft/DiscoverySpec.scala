@@ -44,6 +44,35 @@ class DiscoverySpec extends SparkSpec {
     assert(none.isEmpty && probes == 1, "one probe decides an empty window")
   }
 
+  test("scan-back finds the latest available date with the probe count of the walk") {
+    // availability window is [earliestFor(seed), horizon]; from a `today`
+    // 3 days past the horizon, the first hit is the horizon itself at
+    // probe #3 (today−1, today−2 unavailable, today−3 = horizon)
+    val today = horizon.plusDays(3)
+    val (got, probes, found) = Discovery.scanBackLatest(today,
+      d => Discovery.availableOn(d, seed, horizon))
+    assert(found && got == horizon)
+    assert(probes == 3, s"expected exactly 3 probes, used $probes")
+  }
+
+  test("scan-back exhausting the window returns the reference fallback (today − 7, found=false)") {
+    val today = horizon.plusDays(100) // whole 30-day window unavailable
+    val (got, probes, found) = Discovery.scanBackLatest(today,
+      d => Discovery.availableOn(d, seed, horizon))
+    assert(!found && got == today.minusDays(7))
+    assert(probes == 30, "the walk must stop at maxDaysBack")
+  }
+
+  test("discoverBounds bounds the range from BOTH ends (scan-back + binary search)") {
+    val today = horizon.plusDays(1)
+    val (bounds, probes) = Discovery.discoverBounds(lo, today,
+      d => Discovery.availableOn(d, seed, horizon))
+    assert(bounds.contains((Discovery.earliestFor(seed), horizon)))
+    val range = horizon.toEpochDay - lo.toEpochDay + 1
+    val bound = 1 + (math.log(range.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(probes <= bound, s"$probes probes > scan-back+log2 bound $bound")
+  }
+
   test("distributed probe stage matches the scalar predicate row-for-row") {
     val earliest = Discovery.earliestFor(seed)
     val start = earliest.minusDays(10)

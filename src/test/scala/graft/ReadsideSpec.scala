@@ -143,6 +143,37 @@ class ReadsideSpec extends SparkSpec {
       s"recall too low: ${ivf.toSet.intersect(exact).size}/10")
   }
 
+  test("q38 IVF at honest nprobe=K/8: recall@10 >= 0.8 on a clustered fixture") {
+    // real corpora are clustered — that is WHAT MAKES nprobe << K work.
+    // Deterministic fixture: 20 well-separated ±1 centers in 16 dims,
+    // 2000 points = center + small hash noise; exact top-10 by driver
+    // brute force (2000×16 is trivial); the q38 engine probes only K/8
+    // of its ~45 inverted lists and must still find >= 8 of 10.
+    import graft.expressions.ExprOps
+    val dims = 16; val clusters = 20; val nPts = 2000
+    def center(c: Int): Array[Float] = Array.tabulate(dims)(j =>
+      if ((ExprOps.mix(c.toLong * 31 + j) & 1L) == 0L) 1f else -1f)
+    def point(i: Int): Array[Float] = {
+      val ce = center(i % clusters)
+      Array.tabulate(dims)(j => ce(j) + 0.2f *
+        (ExprOps.mix(i.toLong * 127 + j) % 1000L) / 1000f)
+    }
+    val fixture = (0 until nPts).map(i => (i.toLong, point(i))).toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until dims) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
+      d / math.sqrt(na * nb)
+    }
+    val q = point(7)
+    val exact = (0 until nPts).map(i => (i.toLong, cos(point(i), q)))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = graft.readside.Queries
+      .ivfAnnOver(spark, fixture, 7L, k => math.max(1, k / 8))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(got).size
+    assert(recall >= 8, s"recall@10 = $recall/10 at nprobe=K/8")
+  }
+
   test("q45 head/tail vocabulary split equals the plain single-join form") {
     // the broadcast-head + shuffle-tail decomposition is pure execution
     // strategy: row-for-row it must equal the naive token→count join.
