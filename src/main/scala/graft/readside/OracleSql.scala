@@ -1,5 +1,152 @@
 package graft.readside
 
+/** Generator for q27's DuckDB oracle: replicates the engine's MinHash+LSH
+  * pipeline BIT-FOR-BIT in staged integer SQL, so the LSH mechanics
+  * themselves are value-gated, not just the jaccard arithmetic.
+  *
+  * What it reproduces:
+  *  - FNV-1a 64-bit over the ≤5 chars of each shingle (ExprOps.fnv64 —
+  *    the corpus is all-ASCII, so char codes ≡ UTF-8 bytes), including
+  *    shingleHashes' 0→1 adjust on full shingles;
+  *  - Spark's `xxhash64(shingleHash, lit(seed))` = XXH64 8-byte tail on
+  *    the long with seed 42, then XXH64 4-byte tail on the int literal
+  *    seeded by that (validated bit-exact against Spark 4.1.2 on
+  *    positive/negative/boundary longs);
+  *  - signed-long min for the signature components, band equality by
+  *    direct component comparison (band-KEY equality ⟺ component
+  *    equality modulo nil 64-bit concat collisions).
+  *
+  * All arithmetic runs in HUGEINT over [0, 2^64): x·y mod 2^64 via 32-bit
+  * limb split (each partial < 2^65 fits HUGEINT), rotl via the
+  * disjoint-bits shift sum, xor through UBIGINT. Each step is one chained
+  * CTE column, so expression size stays constant per step.
+  */
+private object LshOracleSql {
+  private val M64s = "18446744073709551616::HUGEINT"
+  private val M32 = BigInt(1) << 32
+  private val M64 = BigInt(1) << 64
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+  private val FnvOffset = BigInt("CBF29CE484222325", 16)
+  private val FnvPrime = BigInt("100000001B3", 16)
+
+  /** (a · b) mod 2^64 for a column expr and a constant. */
+  private def mul64(a: String, b: BigInt): String = {
+    val bl = b % M32; val bh = b / M32
+    s"((($a) % 4294967296 * $bl + " +
+      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
+  }
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+  private def rotl(a: String, n: Int): String =
+    s"((($a) * ${BigInt(1) << n} % $M64s) + (($a) // ${BigInt(1) << (64 - n)}))"
+  private def addc(a: String, c: BigInt): String =
+    s"((($a) + ${c % M64}) % $M64s)"
+  private def shr(col: String, n: Int): String = s"$col // ${BigInt(1) << n}"
+
+  private def chain(base: String, baseCols: Seq[String],
+      stages: Seq[(String, String)], prefix: String): (Seq[String], String) = {
+    var prev = base
+    val cols = scala.collection.mutable.ArrayBuffer(baseCols: _*)
+    val ctes = stages.zipWithIndex.map { case ((name, expr), i) =>
+      val cte = s"$prefix$i"
+      val out = s"$cte AS (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
+      prev = cte; cols += name
+      out
+    }
+    (ctes, prev)
+  }
+
+  val sql: String = {
+    // FNV-1a over the shingle chars, each position conditional on length
+    // (the m<5 whole-string branch hashes 0..4 chars, no 0→1 adjust)
+    val fnvStages =
+      Seq("h0" -> s"CAST($FnvOffset AS HUGEINT)") ++
+      (1 to 5).map { j =>
+        val step = mul64(xor64(s"h${j - 1}", s"ascii(substr(sg,$j,1))"), FnvPrime)
+        s"h$j" -> s"CASE WHEN length(sg) >= $j THEN $step ELSE h${j - 1} END"
+      } ++
+      Seq("h" -> "CASE WHEN fullsh AND h5 = 0 THEN 1::HUGEINT ELSE h5 END")
+    // hashLong(h, seed=42): XXH64 8-byte tail + avalanche
+    val hlBase = (BigInt(42) + P5 + 8) % M64
+    val hlStages = Seq(
+      "t1" -> mul64("h", P2),
+      "t2" -> rotl("t1", 31),
+      "t3" -> mul64("t2", P1),
+      "t4" -> xor64(hlBase.toString, "t3"),
+      "t5" -> rotl("t4", 27),
+      "t6" -> addc(mul64("t5", P1), P4),
+      "u1" -> xor64("t6", shr("t6", 33)),
+      "u2" -> mul64("u1", P2),
+      "u3" -> xor64("u2", shr("u2", 29)),
+      "u4" -> mul64("u3", P3),
+      "hl" -> xor64("u4", shr("u4", 32)))
+    // hashInt(seed_i, hl): XXH64 4-byte tail + avalanche; seed_i·P1 is a
+    // per-seed constant carried on the 16-row seeds table
+    val hiStages = Seq(
+      "g0" -> addc("hl", P5 + 4),
+      "g1" -> xor64("g0", "seedp1"),
+      "g2" -> rotl("g1", 23),
+      "g3" -> addc(mul64("g2", P2), P3),
+      "v1" -> xor64("g3", shr("g3", 33)),
+      "v2" -> mul64("v1", P2),
+      "v3" -> xor64("v2", shr("v2", 29)),
+      "v4" -> mul64("v3", P3),
+      "xli" -> xor64("v4", shr("v4", 32)))
+    val (fnvCtes, fnvLast) = chain("f", Seq("doc_id", "sg", "fullsh"), fnvStages, "fn")
+    val (hlCtes, hlLast) = chain(fnvLast, Seq("doc_id", "sg", "fullsh", "h"), hlStages, "hls")
+    val (hiCtes, hiLast) = chain("seeded", Seq("doc_id", "seed", "hl", "seedp1"), hiStages, "his")
+    val seedVals = (0 until 16)
+      .map(i => s"($i, ${(BigInt(i) * P1) % M64}::HUGEINT)").mkString(", ")
+    s"""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN length(s) < 5 THEN [s]
+                      ELSE list_distinct(list_transform(range(1, length(s) - 3),
+                             i -> substr(s, CAST(i AS INT), 5))) END) AS sg,
+               length(s) >= 5 AS fullsh
+        FROM norm),
+      stop AS (SELECT sg FROM sh CROSS JOIN n GROUP BY sg, nd HAVING count(*) > nd // 2),
+      f AS (SELECT doc_id, sg, fullsh FROM sh WHERE sg NOT IN (SELECT sg FROM stop)),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY doc_id),
+      ${fnvCtes.mkString(",\n      ")},
+      ${hlCtes.mkString(",\n      ")},
+      seeds(seed, seedp1) AS (VALUES $seedVals),
+      seeded AS (SELECT doc_id, seed, hl, seedp1 FROM $hlLast CROSS JOIN seeds),
+      ${hiCtes.mkString(",\n      ")},
+      sig AS (
+        SELECT doc_id, seed,
+               min(CASE WHEN xli >= 9223372036854775808::HUGEINT
+                        THEN CAST(xli - $M64s AS BIGINT)
+                        ELSE CAST(xli AS BIGINT) END) AS mh
+        FROM $hiLast GROUP BY doc_id, seed),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.seed // 4
+        HAVING count(*) = 4),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        FROM f a JOIN f b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST((i * 10000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1e4
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE 100 * i >= 35 * (sa.sz + sb.sz - i)
+      ORDER BY id_a, id_b"""
+  }
+}
+
 /** DuckDB oracle SQL for each SQL-expressible entry in [[Queries]].
   * Mirrors the Spark expression trees exactly (same aliases, same float
   * discipline, same total ORDER BY) so the driver's sorted-column value
@@ -457,40 +604,12 @@ object OracleSql {
       GROUP BY g.doc_id
       ORDER BY g.doc_id""",
 
-    // MinHash+LSH near-dup pairs: the engine's LSH buckets + prefix-filter
-    // completeness sweep make the output exactly "all pairs with
-    // Jaccard ≥ 0.35 over distinct 5-char shingles of the normalized text
-    // after stop-shingle (df > n/2) removal" — hash-independent, so the
-    // oracle recomputes it with STRING shingles and a relational
-    // intersection (hashed vs string shingle sets agree absent 64-bit
-    // collisions, the q42 convention; the engine shingles UTF-8 BYTES and
-    // the oracle chars — identical on these all-ASCII tables).
-    // All-integer threshold and value.
-    "q27_minhash_lsh" -> """
-      WITH norm AS (
-        SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
-        FROM documents WHERE text IS NOT NULL),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
-      sh AS (
-        SELECT doc_id, unnest(CASE WHEN length(s) < 5 THEN [s]
-                 ELSE list_distinct(list_transform(range(1, length(s) - 3),
-                        i -> substr(s, CAST(i AS INT), 5))) END) AS sg
-        FROM norm),
-      stop AS (
-        SELECT sg FROM sh CROSS JOIN n GROUP BY sg, nd HAVING count(*) > nd // 2),
-      f AS (SELECT doc_id, sg FROM sh WHERE sg NOT IN (SELECT sg FROM stop)),
-      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
-        FROM f a JOIN f b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b,
-             CAST((i * 10000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1e4
-      FROM inter
-      JOIN sz sa ON sa.doc_id = id_a
-      JOIN sz sb ON sb.doc_id = id_b
-      WHERE 100 * i >= 35 * (sa.sz + sb.sz - i)
-      ORDER BY id_a, id_b""",
+    // MinHash+LSH near-dup pairs: the oracle replicates the engine's LSH
+    // pipeline bit-for-bit (see [[LshOracleSql]]) — FNV-1a string
+    // shingles, Spark-exact xxhash64 signatures, band-component
+    // collisions, then the relational exact-jaccard confirm with the
+    // all-integer threshold and ×10⁴ value.
+    "q27_minhash_lsh" -> LshOracleSql.sql,
 
     "q43_stratified_sample" -> """
       WITH r AS (

