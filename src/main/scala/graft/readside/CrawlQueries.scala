@@ -315,4 +315,32 @@ object CrawlQueries {
         count(when(col("available"), 1)).as("n_available"))
       .orderBy(col("month"))
   }
+
+  /** S5 both-ends range bounding (reference
+    * SitemapDiscoveryService.java:247-270 + :272-314): latest available
+    * date by the ≤30-day scan-back from a fixed `today` (with the
+    * reference's today−7 fallback), earliest by binary search over
+    * [lo, latest] — one row per probed seed with the bounds, probe
+    * budget, and the resulting crawlable-day count. Deterministic fixed
+    * clock (no wall time). */
+  def c18DiscoveryBounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.time.LocalDate
+    val lo = LocalDate.of(2019, 1, 1)
+    val rows = (0L until 8L).map { seed =>
+      val horizon = LocalDate.of(2025, 12, 31)
+      val today = horizon.plusDays((seed % 4) + 1) // staggered fixed clocks
+      val probe = (d: LocalDate) => Discovery.availableOn(d, seed, horizon)
+      val (bounds, probes) = Discovery.discoverBounds(lo, today, probe)
+      val (earliest, latest) = bounds
+        .map { case (e, l) => (e.toString, l.toString) }
+        .getOrElse(("", ""))
+      val nDays = bounds
+        .map { case (e, l) => l.toEpochDay - e.toEpochDay + 1 }
+        .getOrElse(0L)
+      (seed, earliest, latest, probes.toLong, nDays)
+    }
+    rows.toDF("seed", "earliest", "latest", "n_probes", "n_crawlable_days")
+      .orderBy(col("seed"))
+  }
 }

@@ -73,6 +73,22 @@ class DiscoverySpec extends SparkSpec {
     assert(probes <= bound, s"$probes probes > scan-back+log2 bound $bound")
   }
 
+  test("c18 discovery-bounds rows carry the exact per-seed bounds and probe budget") {
+    val rows = graft.readside.CrawlQueries.c18DiscoveryBounds(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val s = r.getLong(0)
+      val expEarliest = Discovery.earliestFor(s)
+      assert(r.getString(1) == expEarliest.toString, s"seed $s earliest")
+      assert(r.getString(2) == "2025-12-31", s"seed $s latest must be the horizon")
+      val expDays = LocalDate.of(2025, 12, 31).toEpochDay - expEarliest.toEpochDay + 1
+      assert(r.getLong(4) == expDays, s"seed $s crawlable days")
+      // probes: scan-back ≤ 4 (staggered clock) + log₂ binary search
+      assert(r.getLong(3) <= 4 + 14, s"seed $s probe budget ${r.getLong(3)}")
+    }
+  }
+
   test("distributed probe stage matches the scalar predicate row-for-row") {
     val earliest = Discovery.earliestFor(seed)
     val start = earliest.minusDays(10)
