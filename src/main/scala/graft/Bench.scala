@@ -212,18 +212,22 @@ object Bench {
     // keys.
     // INTERLEAVED sweeps: this VM shows 2-3x wall-time noise from
     // background contention that drifts over minutes (measured on
-    // identical binaries/input). Each sweep runs ALL levels back-to-back
-    // (2,8,32 | 2,8,32 | ...) so the pair efficiency is computed WITHIN a
-    // sweep (the common window factor cancels — a paired-measurement
-    // design). CALM-WINDOW GATING: a 1-thread membw fingerprint taken
-    // before each sweep tells a quiet host (≈15 GB/s) from a contended one
-    // (≈4-6 GB/s); the HEADLINE pair efficiencies come from the calmest
-    // (max-membw) complete sweep, sweeping up to SPARK_GRAFT_MAX_SWEEPS
-    // times until one lands at ≥ SPARK_GRAFT_CALM_GBPS. A contended
-    // window systematically DEFLATES the top rung (the bus is the shared
-    // resource), so calm-gating removes a bias, not cherry-picks: all
-    // sweeps land in the BENCH_DETAIL.json sidecar. Per-level throughput
-    // stays best-of-all-samples.
+    // identical binaries/input — local[8] spanned 94.9k-157.8k urls/s on
+    // one binary+input in round 4). Contention noise is ONE-SIDED: a
+    // co-tenant can only slow a run down, never speed it up, so the max
+    // over samples per level estimates that level's uncontended
+    // capacity, and the HEADLINE efficiencies are ratios of those
+    // capacity estimates. (Round 3 paired within a sweep to cancel the
+    // window factor; measured round-4 sweeps show drift WITHIN a sweep
+    // of the same magnitude — r3's recorded 0.808 was a contended
+    // 2-core leg against a calm 8-core leg — so per-level best-of is
+    // both less biased and simpler. Per-sweep pairs still land in the
+    // BENCH_DETAIL.json sidecar.) CALM-WINDOW GATING: a 1-thread membw
+    // fingerprint taken before each sweep tells a quiet host (≈15 GB/s)
+    // from a contended one (≈4-6 GB/s); sweeping continues past the
+    // base reps (cap SPARK_GRAFT_MAX_SWEEPS) until one sweep lands at
+    // ≥ SPARK_GRAFT_CALM_GBPS, so the maxima include at least one
+    // calm-window sample per level when the host allows it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val maxSweeps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_MAX_SWEEPS", "5").toInt)
     val calmGbps = sys.env.getOrElse("SPARK_GRAFT_CALM_GBPS", "9.0").toDouble
@@ -242,17 +246,22 @@ object Bench {
       c -> (if (runs.nonEmpty) runs else Seq(inProcessCrawl(c, crawlUrls)))
     }.toMap
     val thr = levels.map(c => c -> samples(c).max)
-    // headline sweep: calmest COMPLETE sweep (all levels present)
+    // headline efficiencies: ratios of the per-level capacity estimates
+    // (best-of-samples — see the one-sided-noise argument above)
+    val thrMap = thr.toMap
+    val effs = levels.sliding(2).collect { case Seq(a, b) =>
+      (a, b) -> thrMap(b) / ((b.toDouble / a) * thrMap(a))
+    }.toVector
+    // per-sweep pairs for the sidecar (the round-3 paired design, kept
+    // for transparency) + the calmest sweep index
     val completeIdx = sweeps.indices.filter(i => levels.forall(sweeps(i).contains))
     val headlineIdx = completeIdx.sortBy(i => -sweepMarks(i)).headOption
-    val effs = levels.sliding(2).collect { case Seq(a, b) =>
-      val eff = headlineIdx match {
-        case Some(i) => sweeps(i)(b) / ((b.toDouble / a) * sweeps(i)(a))
-        // no complete sweep (fork failures): fall back to best-of ratios
-        case None => thr.toMap.apply(b) / ((b.toDouble / a) * thr.toMap.apply(a))
-      }
-      (a, b) -> eff
-    }.toVector
+    val sweepPairs = for {
+      i <- sweeps.indices.toVector
+      Seq(a, b) <- levels.sliding(2).toVector
+      if sweeps(i).contains(a) && sweeps(i).contains(b)
+    } yield s"sweep${i + 1}_eff_${a}_$b" ->
+      sweeps(i)(b) / ((b.toDouble / a) * sweeps(i)(a))
 
     // contention markers, measured right after the crawl levels so they
     // describe (approximately) the same host window
@@ -290,6 +299,7 @@ object Bench {
         ss.zipWithIndex.map { case (v, i) =>
           s"crawl_urls_per_sec_local${c}_r${i + 1}" -> fmt(v, 1) } } ++
       effs.map { case ((a, b), e) => s"crawl_scaling_efficiency_${a}_$b" -> fmt(e, 4) } ++
+      sweepPairs.map { case (k, v) => k -> fmt(v, 4) } ++
       sweepMarks.zipWithIndex.map { case (v, i) =>
         s"membw_gbps_1t_sweep${i + 1}" -> fmt(v, 4) } ++
       headlineIdx.map(i => "headline_sweep" -> i.toString).toSeq ++
