@@ -91,11 +91,21 @@ object CrawlBench {
     // crossover differs from single-JVM local mode.
     val maxSeenFrac = sys.env.get("SPARK_GRAFT_MAX_SEEN_FRAC")
       .map(_.toDouble).getOrElse(0.5)
-    val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = 2,
+    // SPARK_GRAFT_EPOCHS: epoch count (default 2). >2 exposes the
+    // STEADY-STATE per-epoch cost (epochs 0/1 pay first-time codegen for
+    // their unique plan shapes: no-seen-store vs bloom-probe branch) —
+    // the epoch-age-flatness evidence mode (per-epoch wall + job count
+    // printed from the committed metrics when SPARK_GRAFT_EPOCH_WALLS=1).
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt
+    val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = epochs,
       numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L,
       maintainLatest = maintainLatest, maxSeenFracForBroadcast = maxSeenFrac)
     val t0 = System.nanoTime()
     val metrics = CrawlLoop.run(spark, cfg)
+    if (sys.env.get("SPARK_GRAFT_EPOCH_WALLS").contains("1"))
+      metrics.foreach(m => System.err.println(
+        f"EPOCH_WALL epoch=${m.epoch}%-4d ms=${m.duration_ms}%6d " +
+          f"candidates=${m.n_candidates}"))
     val sec = (System.nanoTime() - t0) / 1e9
     val candidates = metrics.map(_.n_candidates).sum
     println(f"CRAWL_BENCH cores=$cores urls=$totalUrls candidates=$candidates " +

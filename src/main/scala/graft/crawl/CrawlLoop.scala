@@ -58,8 +58,8 @@ final class StuckEpochException(val epoch: Int, timeoutMs: Long)
 /** The epoch fixpoint loop: synth-slice → key → intra-epoch dedup →
   * seen filter (broadcast bloom probe + exact confirm) → fused host stage
   * (robots admission + politeness rank + budget in one pass) → simulated
-  * fetch/validate → partitioned sink + seen delta + deferred + retry +
-  * metrics + lineage, committed per epoch with an atomic marker for
+  * fetch/validate → partitioned sink + seen delta + carry (deferred+retry)
+  * + metrics + lineage, committed per epoch with an atomic marker for
   * resume (ST4).
   *
   * Shuffle budget per epoch (the thing that must survive 1000 executors ×
@@ -72,6 +72,23 @@ final class StuckEpochException(val epoch: Int, timeoutMs: Long)
   * shuffle (and the streamed run-length pass bounds task memory);
   * (3) the partitioned write. Everything else is narrow. PlanSpec pins
   * this shape.
+  *
+  * Fixed per-epoch driver cost is engineered down three ways (round-5;
+  * the measured baseline was ~12.5 s/epoch of pure driver time,
+  * BASELINE.md round-4 addendum):
+  *  - epoch-varying values enter plans as [[graft.expressions.ParamLit]]
+  *    bound parameters, so every epoch re-uses the compiled whole-stage
+  *    code (epoch literals previously busted the codegen cache);
+  *  - every count the metrics need rides as an OBSERVED aggregate
+  *    (`Dataset.observe`) on a job the epoch already runs — no dedicated
+  *    state-count or metrics-scan jobs, and no extra full pass over the
+  *    cached frontier;
+  *  - deferred+retry land in ONE partitioned carry table, and the bloom
+  *    segment store is maintained by a distributed cogroup merge
+  *    ([[graft.seen.SeenSet.mergeDeltaIntoSegments]]) instead of a
+  *    driver round-trip — at 10^10 seen keys the segment set (~12 GB)
+  *    never touches the driver; it is collected ONLY under the
+  *    broadcast-tier gate.
   */
 object CrawlLoop {
 
@@ -87,11 +104,15 @@ object CrawlLoop {
     LatestView.recover(spark, cfg.workDir)
     val resumeFrom = lastCommittedEpoch(spark, cfg.workDir) + 1
     val until = math.min(cfg.epochs.toLong, resumeFrom.toLong + stopAfter.toLong).toInt
+    // the robots rules are epoch-invariant: broadcast ONCE per run and
+    // share the handle across epochs (previously one broadcast per epoch)
+    val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
+    val bcRules = spark.sparkContext.broadcast(rules)
     var prior: Option[EpochMetrics] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
     var e = resumeFrom
     var halted = false
-    while (e < until && !halted) {
+    try while (e < until && !halted) {
       // cooperative pause/cancel, polled between epochs — the reference
       // polls its flags between dates (BulkCrawlerService.java:435-464);
       // both leave every committed epoch in place, so a later run resumes
@@ -116,7 +137,7 @@ object CrawlLoop {
           val priorCarried = prior.map(p => p.n_deferred + p.n_failed)
             .getOrElse(0L)
           val m = runEpochWatched(spark, cfg, e, store, priorSeenFrac,
-            priorCarried)
+            priorCarried, Some(bcRules))
           prior = Some(m)
           out += m
           // automatic small-files maintenance: without it a 10^4-epoch
@@ -134,6 +155,10 @@ object CrawlLoop {
             LatestView.compact(spark, cfg.workDir)
           e += 1
       }
+    } finally {
+      // unpersist, not destroy: cached lineage may still lazily
+      // re-broadcast (same rationale as the bloom broadcast)
+      bcRules.unpersist()
     }
     out.toSeq
   }
@@ -144,16 +169,20 @@ object CrawlLoop {
     * idempotently) and raise. */
   def runEpochWatched(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
       store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0,
-      priorCarried: Long = 0L): EpochMetrics = {
+      priorCarried: Long = 0L,
+      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None)
+      : EpochMetrics = {
     if (cfg.stuckTimeoutMs == Long.MaxValue)
-      return runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried)
+      return runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried,
+        sharedRules)
     val group = s"graft-epoch-$epoch"
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val fut = Future {
       spark.sparkContext.setJobGroup(group, s"epoch $epoch", interruptOnCancel = true)
-      try runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried)
+      try runEpoch(spark, cfg, epoch, store, priorSeenFrac, priorCarried,
+        sharedRules)
       finally spark.sparkContext.clearJobGroup()
     }
     try Await.result(fut, cfg.stuckTimeoutMs.millis)
@@ -183,8 +212,11 @@ object CrawlLoop {
 
   def runEpoch(spark: SparkSession, cfg: CrawlConfig, epoch: Int,
       store: PayloadStore = PayloadSink, priorSeenFrac: Double = 0.0,
-      priorCarried: Long = 0L): EpochMetrics = {
+      priorCarried: Long = 0L,
+      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None)
+      : EpochMetrics = {
     import spark.implicits._
+    import org.apache.spark.sql.Observation
     val tEpoch0 = System.nanoTime()
 
     // 1. this epoch's frontier slice + carried-over work
@@ -193,12 +225,11 @@ object CrawlLoop {
     val newKeyed = FrontierSynth.key(slice, cfg.buckets)
     // NB: unionByName — joins upstream reorder columns (join key first),
     // and Dataset.union is positional
-    val carried = readKeyed(spark, s"${cfg.workDir}/deferred/epoch=${epoch - 1}")
-      .unionByName(readKeyed(spark, s"${cfg.workDir}/retry/epoch=${epoch - 1}"))
+    val carried = readCarried(spark, s"${cfg.workDir}/carry/epoch=${epoch - 1}")
     // candidates: NOT persisted — its only consumer is the dedup window,
     // and a full-frontier cache write per epoch is pure memory-bandwidth
-    // cost (measured: the state-counts job is the epoch's critical path,
-    // dominated by cache materialization, not compute)
+    // cost (measured: cache materialization, not compute, dominated the
+    // epoch's critical path)
     val candidates = newKeyed.unionByName(carried)
 
     // 2. intra-epoch first-occurrence dedup (url_hash window), in FLAG
@@ -241,21 +272,46 @@ object CrawlLoop {
         // dominates urlsPerEpoch, and sizing on the slice alone kept
         // MEMORY_AND_DISK in exactly the GC-overhead regime this tier
         // switch exists to prevent); memory = where the blocks LIVE —
-        // executor heap from the conf in cluster mode, this JVM's heap
-        // only when local (driver == executor there)
+        // this JVM's heap when the driver IS the executor (master "local"
+        // or "local[N]"; NOT local-cluster, which forks real executor
+        // JVMs), else the AGGREGATE executor budget: per-executor heap ×
+        // executor count (instances conf when set, else derived from
+        // defaultParallelism / executor cores) — the cached rows spread
+        // across the fleet, so comparing global rows to ONE executor's
+        // heap was over-conservative tiering.
         val estRows = cfg.urlsPerEpoch + priorCarried
         val conf = spark.sparkContext.getConf
+        val master = conf.get("spark.master", "local")
         val heap =
-          if (conf.get("spark.master", "local").startsWith("local["))
+          if (master == "local" || master.startsWith("local["))
             Runtime.getRuntime.maxMemory()
-          else conf.getSizeAsBytes("spark.executor.memory", "1g")
+          else {
+            val perExec = conf.getSizeAsBytes("spark.executor.memory", "1g")
+            val execs =
+              if (conf.contains("spark.executor.instances"))
+                math.max(1, conf.get("spark.executor.instances").toInt)
+              else {
+                val cores = math.max(1,
+                  conf.get("spark.executor.cores", "1").toInt)
+                math.max(1, spark.sparkContext.defaultParallelism / cores)
+              }
+            perExec * execs
+          }
         if (estRows * 224L <= (heap * 0.35).toLong)
           StorageLevel.MEMORY_AND_DISK
         else if (estRows * 96L <= (heap * 0.25).toLong)
           StorageLevel.MEMORY_AND_DISK_SER
         else StorageLevel.DISK_ONLY
     }
+    // dup/total counts ride as OBSERVED aggregates on the cache
+    // materialization (no dedicated count job, no extra pass over the
+    // cached frontier — the old union+groupBy state-count job re-scanned
+    // BOTH frontier caches every epoch on a memory-bandwidth-bound box)
+    val obsDedup = Observation(s"graft_dedup_$epoch")
     val dedupTagged = Politeness.dedupFlagged(candidates)
+      .observe(obsDedup,
+        count(when(col("is_dup__"), 1)).as("dup"),
+        count(lit(1)).as("total"))
       .persist(frontierCacheLevel)
     val deduped = dedupTagged.filter(!col("is_dup__")).drop("is_dup__")
       .as[KeyedUrl]
@@ -272,19 +328,24 @@ object CrawlLoop {
     // (epoch-scaled sizing would change the shape every epoch and force a
     // full-store rebuild each time)
     val expectedPerBucket = math.max(64L, cfg.totalUrls / cfg.buckets)
-    // probe segments: load last epoch's persisted set (O(1) tiny read) and
-    // only fall back to a full seen-store rebuild when it is absent
-    // (first bloom epoch after resume-from-older-layout, a preceding
-    // forceUpdate epoch, or a crash replay that already dropped it) —
-    // WITHOUT the persisted store the bloom build rescans the entire seen
-    // set every epoch, a per-epoch cost that grows with crawl age.
-    var probeSegs: Seq[(Int, Array[Byte])] = Nil
+    // probe segments: load last epoch's persisted set as a DATASET (a
+    // lazy O(1) tiny read — nothing segment-sized touches the driver
+    // here) and only fall back to a full seen-store rebuild when it is
+    // absent (first bloom epoch after resume-from-older-layout, a
+    // preceding forceUpdate epoch, or a crash replay that already dropped
+    // it). The ONLY place segments are ever collected is inside the
+    // broadcast-tier probe, which is exactly the tier gated to stay under
+    // the driver/broadcast ceiling; the cogrouped tier and the segment
+    // WRITE below are distributed end-to-end (at 10^10 seen keys the
+    // segment set is ~12 GB — a per-epoch driver round-trip of it would
+    // be the scale killer).
+    def segmentsDs(): Dataset[(Int, Array[Byte])] =
+      loadSegmentsDs(spark, cfg, epoch - 1, expectedPerBucket)
+        .getOrElse(SeenSet.bloomSegments(seen, cfg.buckets,
+          expectedPerBucket, cfg.bloomFpp))
     val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
       if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
-        probeSegs = loadSegments(spark, cfg, epoch - 1, expectedPerBucket)
-          .getOrElse(SeenSet.bloomSegments(seen, cfg.buckets,
-            expectedPerBucket, cfg.bloomFpp).collect().toSeq)
         // broadcast confirm only while the maybe-seen sliver is provably
         // small: its size tracks the TRUE-duplicate fraction of candidates
         // (not the bloom fpp), so at steady-state recrawl ratios it
@@ -293,37 +354,27 @@ object CrawlLoop {
         // zero-cost estimator; past the threshold, the cogrouped two-tier
         // keeps everything distributed (same rows, graceful degradation).
         if (priorSeenFrac <= cfg.maxSeenFracForBroadcast)
-          SeenSet.unseenTwoTierBroadcast(deduped, seen,
-            spark.createDataset(probeSegs))
+          SeenSet.unseenTwoTierBroadcast(deduped, seen, segmentsDs())
         else
-          SeenSet.unseenTwoTier(deduped, seen, spark.createDataset(probeSegs))
+          SeenSet.unseenTwoTier(deduped, seen, segmentsDs())
       } else (SeenSet.unseenExact(deduped, seen), () => ())
 
     // 4. fused host stage: robots admission + politeness rank + budget —
-    // map-side deny/top-k prefilter, then one repartition(host)+sort pass
-    val rules = Robots.syntheticRules(cfg.numHosts, cfg.seed)
-    val (scheduledDs, bcRules) = Politeness.scheduleTracked(unseen, rules, cfg.budgetPerHost)
-    val scheduled = scheduledDs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    // ONE state-count job covers everything: every candidate row counts
-    // as DUP or LIVE (from the cached dedup frame), every live row
-    // reappears as a scheduling outcome; seen-skip is the residual.
-    spark.sparkContext.setJobDescription(s"epoch=$epoch state-counts")
-    val stateCounts = dedupTagged
-      .select(when(col("is_dup__"), "DUP").otherwise("LIVE").as("state"))
-      .unionByName(scheduled.toDF().select(col("_2").as("state")))
-      .groupBy(col("state")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // job 1
-    val nDup = stateCounts.getOrElse("DUP", 0L)
-    val nLive = stateCounts.getOrElse("LIVE", 0L)
-    val nCandidates = nDup + nLive
-    val nDenied = stateCounts.getOrElse(Politeness.Sched.Denied, 0L)
-    val nAdmitted = stateCounts.getOrElse(Politeness.Sched.Admitted, 0L)
-    val nDeferred = stateCounts.getOrElse(Politeness.Sched.Deferred, 0L)
-    val nSeenSkipped = nLive - nDenied - nAdmitted - nDeferred
-    // scheduled is materialized: release everything upstream of it
-    seenCleanup()
-    dedupTagged.unpersist()
+    // map-side deny/top-k prefilter, then one repartition(host)+sort pass.
+    // Scheduling-state counts are OBSERVED on the cache materialization:
+    // every live row is exactly one of denied/admitted/deferred, and the
+    // seen-skip count is the residual — zero dedicated count jobs.
+    val rulesMap = sharedRules.map(_.value)
+      .getOrElse(Robots.syntheticRules(cfg.numHosts, cfg.seed))
+    val (scheduledDs, bcRules) = Politeness.scheduleTracked(unseen, rulesMap,
+      cfg.budgetPerHost, sharedRules = sharedRules)
+    val obsSched = Observation(s"graft_sched_$epoch")
+    val scheduled = scheduledDs
+      .observe(obsSched,
+        count(when(col("_2") === Politeness.Sched.Denied, 1)).as("denied"),
+        count(when(col("_2") === Politeness.Sched.Admitted, 1)).as("admitted"),
+        count(when(col("_2") === Politeness.Sched.Deferred, 1)).as("deferred"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val admitted = scheduled.filter(_._2 == Politeness.Sched.Admitted)
       .map { case (k, _, slot) => AdmittedUrl(k.url_canon, k.url_hash,
@@ -339,9 +390,14 @@ object CrawlLoop {
     // (column-pruned parquet read ≪ caching binaries).
     val results = Fetch.fetch(admitted, epoch)
 
-    // 7. sinks (idempotent per epoch), all behind the PayloadStore trait
+    // 7. sinks (idempotent per epoch), all behind the PayloadStore trait.
+    // This write is the job that materializes BOTH frontier caches, so
+    // the dedup/schedule observations complete with it.
     spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
     store.writePayload(results, cfg.workDir)
+    // scheduled is materialized: release everything upstream of it
+    seenCleanup()
+    dedupTagged.unpersist()
     // read back ONLY this epoch's partition directories (listing the whole
     // payload tree would grow linearly with crawl age; at 10^4+ epochs the
     // file listing, not the data, becomes the cost)
@@ -367,13 +423,28 @@ object CrawlLoop {
     // BLOCKED monitor in 32-core stack samples once the chmod forks were
     // gone. The slim projection (6 narrow columns, no payload bytes) is
     // cheap to cache; the binaries still never enter the block manager.
+    // status counts + byte sum ride as observed aggregates on the cache
+    // materialization (the lineage write below is the first action)
+    val obsWritten = Observation(s"graft_written_$epoch")
     val written = writtenFull
       .select(col("url_hash"), col("status"), col("n_bytes"), col("host"),
         col("host_bucket"), col("crawl_epoch"))
+      .observe(obsWritten,
+        count(when(col("status") === Status.Processed, 1)).as("p"),
+        count(when(col("status") === Status.Failed, 1)).as("f"),
+        count(when(col("status") === Status.Rejected, 1)).as("r"),
+        coalesce(sum(col("n_bytes")), lit(0L)).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // n_hosts = Σ per-bucket exact distinct-host counts (hosts never span
+    // buckets), observed on the lineage output — the countDistinct job
+    // this replaces was the epoch's only remaining dedicated metrics scan
     spark.sparkContext.setJobDescription(s"epoch=$epoch lineage-write")
-    store.writeLineage(PayloadSink.lineage(written, epoch), cfg.workDir, epoch)
+    val obsLineage = Observation(s"graft_lineage_$epoch")
+    store.writeLineage(
+      PayloadSink.lineage(written, epoch)
+        .observe(obsLineage, coalesce(sum(col("n_hosts")), lit(0L)).as("hosts")),
+      cfg.workDir, epoch)
 
     // J3 upsert-reader maintenance: append this epoch's pointer delta
     // (O(epoch) — one slim columnar write); the fold into the resolved
@@ -391,9 +462,12 @@ object CrawlLoop {
       written.filter(col("status") === Status.Processed)
         .select(col("url_hash"), col("host_bucket").cast("int").as("host_bucket")),
       cfg.workDir, epoch)
-    // incremental bloom maintenance: segments(epoch) = probe segments
+    // incremental bloom maintenance: segments(epoch) = segments(epoch-1)
     // (≡ blooms of seen < epoch) ∪ bloom(this epoch's delta) — an O(delta)
-    // scan, never a store rescan. Deleted (tombstoned) keys stay set in
+    // scan, never a store rescan, and fully DISTRIBUTED: the delta keys
+    // cogroup into the persisted segment dataset on their bucket
+    // (SeenSet.mergeDeltaIntoSegments), so nothing segment- or key-sized
+    // ever rides through the driver. Deleted (tombstoned) keys stay set in
     // the persisted blooms: that is only a false positive, and positives
     // are exactly confirmed against the tombstone-merged store. Written
     // BEFORE the commit marker so a replayed epoch rewrites it
@@ -401,10 +475,14 @@ object CrawlLoop {
     // the store stays O(1) dirs regardless of crawl age.
     if (cfg.useBloom && !cfg.forceUpdate) {
       spark.sparkContext.setJobDescription(s"epoch=$epoch seen-bloom-write")
-      val deltaSegs = SeenSet.bloomSegments(
-        spark.read.parquet(s"${cfg.workDir}/seen/epoch=$epoch"),
-        cfg.buckets, expectedPerBucket, cfg.bloomFpp).collect().toSeq
-      spark.createDataset(SeenSet.mergeSegmentArrays(probeSegs, deltaSegs))
+      val deltaKeys = written.filter(col("status") === Status.Processed)
+        .select(col("host_bucket").cast("int").as("host_bucket"),
+          col("url_hash"))
+      val prevSegs: Dataset[(Int, Array[Byte])] =
+        if (seen == null) spark.emptyDataset[(Int, Array[Byte])]
+        else segmentsDs()
+      SeenSet.mergeDeltaIntoSegments(deltaKeys, prevSegs,
+          expectedPerBucket, cfg.bloomFpp)
         .toDF("host_bucket", "bloom")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -424,35 +502,43 @@ object CrawlLoop {
       metaOut.close()
       fsB.delete(new Path(bloomDir(cfg.workDir, epoch - 1)), true)
     }
-    spark.sparkContext.setJobDescription(s"epoch=$epoch retry-write")
+    spark.sparkContext.setJobDescription(s"epoch=$epoch carry-write")
 
-    // retry queue = transient/corrupt FAILED rows, eligible next epoch.
-    // Derived from the ACTUAL validated statuses in the written table
-    // (broadcast semi-join on the small FAILED sliver — no shuffle),
-    // never recomputed from expected outcomes: if validation ever
-    // disagreed with the expectation table, the engine would otherwise
-    // put one URL in BOTH the seen store and the retry queue and drift
-    // from itself.
+    // carry = retry ∪ deferred in ONE partitioned write (queue=retry |
+    // queue=deferred). Retry rows = transient/corrupt FAILED rows,
+    // eligible next epoch — derived from the ACTUAL validated statuses in
+    // the written table (broadcast semi-join on the small FAILED sliver,
+    // no shuffle), never recomputed from expected outcomes: if validation
+    // ever disagreed with the expectation table, the engine would
+    // otherwise put one URL in BOTH the seen store and the retry queue
+    // and drift from itself.
     val failedKeys = written.filter(col("status") === Status.Failed)
       .select("url_hash")
-    store.writeKeyed(
-      admitted.toDF()
-        .join(broadcast(failedKeys), Seq("url_hash"), "left_semi")
-        .as[AdmittedUrl]
-        .map(_.toKeyed),
-      s"${cfg.workDir}/retry/epoch=$epoch")
+    val retryRows = admitted.toDF()
+      .join(broadcast(failedKeys), Seq("url_hash"), "left_semi")
+      .as[AdmittedUrl]
+      .map(_.toKeyed)
+    store.writeCarry(
+      deferred.toDF().withColumn("queue", lit("deferred"))
+        .unionByName(retryRows.toDF().withColumn("queue", lit("retry"))),
+      s"${cfg.workDir}/carry/epoch=$epoch")
 
-    spark.sparkContext.setJobDescription(s"epoch=$epoch deferred-write")
-    store.writeKeyed(deferred, s"${cfg.workDir}/deferred/epoch=$epoch")
-
-    // one pass over the written slim columns for all outcome metrics
-    spark.sparkContext.setJobDescription(s"epoch=$epoch result-metrics")
-    val mrow = written.agg(
-      count(when(col("status") === Status.Processed, 1)).as("p"),
-      count(when(col("status") === Status.Failed, 1)).as("f"),
-      count(when(col("status") === Status.Rejected, 1)).as("r"),
-      coalesce(sum(col("n_bytes")), lit(0L)).as("b"),
-      countDistinct(col("host")).as("h")).head() // job 2 (the writes are their own jobs)
+    // all outcome metrics were observed on jobs this epoch already ran:
+    // dup/total on the dedup cache, scheduling states on the schedule
+    // cache (both filled by the payload write), status counts + bytes on
+    // the written cache and the host sum on the lineage output (both
+    // filled by the lineage write). Zero dedicated metric jobs.
+    val dRow = awaitObserved(obsDedup, "dedup", epoch)
+    val sRow = awaitObserved(obsSched, "sched", epoch)
+    val wRow = awaitObserved(obsWritten, "written", epoch)
+    val lRow = awaitObserved(obsLineage, "lineage", epoch)
+    val nDup = dRow.getAs[Long]("dup")
+    val nCandidates = dRow.getAs[Long]("total")
+    val nLive = nCandidates - nDup
+    val nDenied = sRow.getAs[Long]("denied")
+    val nAdmitted = sRow.getAs[Long]("admitted")
+    val nDeferred = sRow.getAs[Long]("deferred")
+    val nSeenSkipped = nLive - nDenied - nAdmitted - nDeferred
     written.unpersist()
     val durationMs = (System.nanoTime() - tEpoch0) / 1000000L
     // A8/A9/A11 derived metrics (BulkCrawlProgress.java:254-329 analogue):
@@ -469,11 +555,11 @@ object CrawlLoop {
       n_seen_skipped = nSeenSkipped,
       n_admitted = nAdmitted,
       n_deferred = nDeferred,
-      n_processed = mrow.getLong(0),
-      n_failed = mrow.getLong(1),
-      n_rejected = mrow.getLong(2),
-      bytes_written = mrow.getLong(3),
-      n_hosts = mrow.getLong(4),
+      n_processed = wRow.getAs[Long]("p"),
+      n_failed = wRow.getAs[Long]("f"),
+      n_rejected = wRow.getAs[Long]("r"),
+      bytes_written = wRow.getAs[Long]("b"),
+      n_hosts = lRow.getAs[Long]("hosts"),
       duration_ms = durationMs,
       urls_per_sec = rate,
       progress_pct = progressPct,
@@ -486,9 +572,28 @@ object CrawlLoop {
 
     scheduled.unpersist()
     // unpersist, not destroy: lineage replay may still lazily re-broadcast
-    // (same rationale as the bloom broadcast in unseenTwoTierBroadcast)
-    bcRules.unpersist()
+    // (same rationale as the bloom broadcast in unseenTwoTierBroadcast).
+    // Shared rules are released once per RUN by the caller, not per epoch.
+    if (sharedRules.isEmpty) bcRules.unpersist()
     m
+  }
+
+  /** Read an observed-metrics row. The observation's promise completes on
+    * the listener callback of the action that materialized its node —
+    * always a job this epoch already ran — so this await is a handshake,
+    * not a wait for work; the timeout exists to fail loudly if an epoch
+    * rewrite ever drops the materializing action. */
+  private def awaitObserved(obs: org.apache.spark.sql.Observation,
+      what: String, epoch: Int): org.apache.spark.sql.Row = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    try Await.result(obs.future, 600.seconds)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"epoch=$epoch observed '$what' metrics never materialized — " +
+            "the observing action was not executed")
+    }
   }
 
   private def commit(spark: SparkSession, workDir: String, m: EpochMetrics): Unit = {
@@ -516,37 +621,44 @@ object CrawlLoop {
     * byte-exact membership) with the shape the current config implies (a
     * changed totalUrls/fpp between runs makes old segments un-mergeable).
     * Any read failure likewise falls back rather than wedging resume. */
+  /** [[loadSegmentsDs]] collected — test/diagnostic helper ONLY (the epoch
+    * loop never collects segments outside the broadcast-tier probe). */
   private[graft] def loadSegments(spark: SparkSession, cfg: CrawlConfig,
-      epoch: Int, expectedPerBucket: Long): Option[Seq[(Int, Array[Byte])]] = {
+      epoch: Int, expectedPerBucket: Long): Option[Seq[(Int, Array[Byte])]] =
+    loadSegmentsDs(spark, cfg, epoch, expectedPerBucket)
+      .map(_.collect().toSeq.sortBy(_._1))
+
+  /** The persisted segment store as a lazy Dataset (no job, no collect).
+    * Validation is metadata-only: the sidecar records the (buckets,
+    * expectedPerBucket, fpp) the segments were built under, and only this
+    * engine writes the dir — matching meta ⇒ matching per-segment shape.
+    * The meta guards the BUCKETING, not just the shape: a changed
+    * cfg.buckets remaps every key's host_bucket while the bloom shape can
+    * stay identical, and probing under the wrong mapping reads as false
+    * negatives = silent duplicate crawls. No/unreadable/mismatched meta,
+    * or a partial (no `_SUCCESS`) dir ⇒ None, caller rebuilds. */
+  private[graft] def loadSegmentsDs(spark: SparkSession, cfg: CrawlConfig,
+      epoch: Int, expectedPerBucket: Long): Option[Dataset[(Int, Array[Byte])]] = {
     import spark.implicits._
     val dir = bloomDir(cfg.workDir, epoch)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$dir/_SUCCESS"))) return None
     scala.util.Try {
-      // sidecar meta guards the BUCKETING, not just the per-segment shape:
-      // a changed cfg.buckets remaps every key's host_bucket while the
-      // bloom shape can stay identical (the max(64,...) floor, or
-      // proportional totalUrls), and probing under the wrong mapping reads
-      // as false negatives = silent duplicate crawls. No/unreadable meta
-      // (pre-meta layout) ⇒ rebuild.
       val metaPath = new Path(s"$dir/_graft_meta.json")
       if (!fs.exists(metaPath)) return None
       val metaIn = fs.open(metaPath)
       val metaStr = scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
       metaIn.close()
-      val bucketsRe = """"buckets":(\d+)""".r
-      val metaBuckets = bucketsRe.findFirstMatchIn(metaStr).map(_.group(1).toInt)
-      if (!metaBuckets.contains(cfg.buckets)) return None
-      val segs = spark.read.parquet(dir)
+      def fld(name: String): Option[String] =
+        ("\"" + name + "\":([0-9.eE+-]+)").r
+          .findFirstMatchIn(metaStr).map(_.group(1))
+      val ok = fld("buckets").contains(cfg.buckets.toString) &&
+        fld("expectedPerBucket").contains(expectedPerBucket.toString) &&
+        fld("fpp").exists(_.toDouble == cfg.bloomFpp)
+      if (!ok) None
+      else Some(spark.read.parquet(dir)
         .select(col("host_bucket").cast("int"), col("bloom"))
-        .as[(Int, Array[Byte])].collect().toSeq
-      val want = graft.seen.LongBloom.create(expectedPerBucket, cfg.bloomFpp)
-      val ok = segs.forall { case (b, bytes) =>
-        val f = graft.seen.LongBloom.deserialize(bytes)
-        b >= 0 && b < cfg.buckets &&
-          f.numBits == want.numBits && f.numHashes == want.numHashes
-      }
-      if (ok) Some(segs) else None
+        .as[(Int, Array[Byte])])
     }.getOrElse(None)
   }
 
@@ -567,10 +679,17 @@ object CrawlLoop {
   def seenEpochDirs(spark: SparkSession, workDir: String, epochs: Int): Seq[String] =
     (0 until epochs).map(e => s"$workDir/seen/epoch=$e")
 
-  private def readKeyed(spark: SparkSession, dir: String): Dataset[KeyedUrl] = {
+  /** Read the previous epoch's carry table (both queues — partition
+    * pruning makes per-queue reads equally cheap if a caller wants one). */
+  private def readCarried(spark: SparkSession, dir: String): Dataset[KeyedUrl] = {
     import spark.implicits._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(dir))) spark.read.parquet(dir).as[KeyedUrl]
+    if (fs.exists(new Path(dir)))
+      spark.read.parquet(dir)
+        .select("url_canon", "url_hash", "docid", "court", "host",
+          "host_bucket", "path", "sitemap_seq", "entry_seq",
+          "discovered_epoch", "lastmod")
+        .as[KeyedUrl]
     else spark.emptyDataset[KeyedUrl]
   }
 }

@@ -36,20 +36,27 @@ object FrontierSynth {
   val UrlsPerSitemap = 1000L
 
   /** Generate `n` frontier rows for `epoch`, deterministically from `seed`.
-    * Row ids are globally unique across epochs via `epochOffset`. */
+    * Row ids are globally unique across epochs via `epochOffset`.
+    *
+    * Epoch-varying values (`epoch`, `epochOffset`, `dupDomain`) enter the
+    * plan as [[graft.expressions.ParamLit]] bound parameters, not literals:
+    * every epoch's frontier plan then generates byte-identical code and the
+    * whole-stage-codegen cache hits instead of recompiling per epoch. */
   def frontier(spark: SparkSession, n: Long, numHosts: Int, seed: Long,
       epoch: Int, epochOffset: Long = 0L): DataFrame = {
+    import graft.expressions.ParamLit
     val freshPerEpoch = math.max(1L, (n * 4) / 5)
     val dupDomain = math.max(1L, ((epochOffset + n) * 4) / 5)
+    val pOffset = ParamLit.long(epochOffset)
     spark.range(n)
-      .select((col("id") + epochOffset).as("frontier_seq"), col("id"))
+      .select((col("id") + pOffset).as("frontier_seq"), col("id"))
       // identity key: last 20% of each slice re-draw from the global
       // domain (duplicate fixture, cross-epoch); the rest are fresh
       .withColumn("doc_key",
         when(col("id") >= freshPerEpoch,
-          pmod(xxhash64(lit(seed), lit(7L), col("id") + lit(epochOffset)),
-            lit(dupDomain)))
-          .otherwise(col("id") + lit(epochOffset)))
+          pmod(xxhash64(lit(seed), lit(7L), col("id") + pOffset),
+            ParamLit.long(dupDomain)))
+          .otherwise(col("id") + pOffset))
       .withColumn("r1", xxhash64(lit(seed), col("doc_key")))
       .withColumn("r2", xxhash64(lit(seed + 1), col("doc_key")))
       .withColumn("r3", xxhash64(lit(seed + 2), col("frontier_seq"))) // per-row, not per-key: noise
@@ -89,7 +96,7 @@ object FrontierSynth {
       .withColumn("lastmod",
         timestamp_add("DAY", pmod(col("r1"), lit(365L)),
           to_timestamp(lit("2025-01-01 00:00:00"))))
-      .withColumn("discovered_epoch", lit(epoch))
+      .withColumn("discovered_epoch", graft.expressions.ParamLit.int(epoch))
       .select("frontier_seq", "url", "host", "sitemap_seq", "entry_seq",
         "lastmod", "discovered_epoch")
   }

@@ -114,11 +114,14 @@ case class EpochMetrics(
     progress_pct: Double = 0.0,
     eta_ms: Long = 0L)
 
-/** Per-(epoch, host_bucket) lineage row — which partition wrote what. */
+/** Per-(epoch, host_bucket) lineage row — which partition wrote what.
+  * `n_hosts` is the exact distinct-host count of the partition (hosts
+  * never span buckets, so these sum to the epoch's global host count). */
 case class PartitionLineage(
     epoch: Int,
     host_bucket: Int,
     n_rows: Long,
     n_bytes: Long,
+    n_hosts: Long,
     min_url_hash: Long,
     max_url_hash: Long)

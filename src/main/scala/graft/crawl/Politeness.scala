@@ -99,12 +99,15 @@ object Politeness {
     * per epoch on long crawls). The caller unpersists the handle after the
     * scheduled rows are materialized. */
   def scheduleTracked(unseen: Dataset[KeyedUrl], rules: Map[String, RobotsRule],
-      budgetPerHost: Int, epochWindowSec: Long = 0L)
+      budgetPerHost: Int, epochWindowSec: Long = 0L,
+      sharedRules: Option[org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]] = None)
       : (Dataset[(KeyedUrl, String, Int)],
          org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]]) = {
     val spark = unseen.sparkSession
     import spark.implicits._
-    val bcRules = spark.sparkContext.broadcast(rules)
+    // rules are epoch-invariant: the epoch loop broadcasts them ONCE per
+    // run and passes the handle in, instead of one broadcast per epoch
+    val bcRules = sharedRules.getOrElse(spark.sparkContext.broadcast(rules))
     val pre = prefilter(unseen, rules, budgetPerHost,
       epochWindowSec = epochWindowSec, sharedRules = Some(bcRules))
 

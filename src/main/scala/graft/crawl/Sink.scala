@@ -15,8 +15,10 @@ trait PayloadStore extends Serializable {
   def writeMetrics(m: EpochMetrics, workDir: String, spark: SparkSession): Unit
   /** Seen delta: success-only (url_hash, host_bucket) rows for `epoch`. */
   def writeSeenDelta(delta: DataFrame, workDir: String, epoch: Int): Unit
-  /** Carried work queues (retry/deferred). */
-  def writeKeyed(ds: Dataset[KeyedUrl], dir: String): Unit
+  /** Carried work for the next epoch: KeyedUrl columns plus a `queue`
+    * tag (`retry` | `deferred`), written as ONE partitioned table so both
+    * queues cost a single write job per epoch. */
+  def writeCarry(carry: DataFrame, dir: String): Unit
 }
 
 /** Partitioned-parquet implementation of [[PayloadStore]] (SURVEY.md §2.1
@@ -58,8 +60,13 @@ object PayloadSink extends PayloadStore {
     writePayload(results, workDir)
 
   /** Per-(epoch, host_bucket) lineage from the WRITTEN payload frame
-    * (columns: host_bucket, url_hash, n_bytes): which partition wrote
-    * what. Computed post-write so the binary column never needs caching. */
+    * (columns: host_bucket, host, url_hash, n_bytes): which partition wrote
+    * what. Computed post-write so the binary column never needs caching.
+    * `n_hosts` is exact per bucket, and because `host_bucket` is a pure
+    * function of `host` (FrontierSynth.key), the global distinct-host
+    * count is the SUM of the per-bucket counts — which is how the epoch
+    * loop derives its `n_hosts` metric without a separate countDistinct
+    * job (observed as `sum(n_hosts)` on the lineage write). */
   def lineage(written: org.apache.spark.sql.DataFrame, epoch: Int): Dataset[PartitionLineage] = {
     val spark = written.sparkSession
     import spark.implicits._
@@ -67,10 +74,13 @@ object PayloadSink extends PayloadStore {
       .groupBy(col("host_bucket"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_bytes")).as("n_bytes"),
+        countDistinct(col("host")).as("n_hosts"),
         min(col("url_hash")).as("min_url_hash"),
         max(col("url_hash")).as("max_url_hash"))
-      .select(lit(epoch).as("epoch"), col("host_bucket").cast("int").as("host_bucket"),
-        col("n_rows"), col("n_bytes"), col("min_url_hash"), col("max_url_hash"))
+      .select(graft.expressions.ParamLit.int(epoch).as("epoch"),
+        col("host_bucket").cast("int").as("host_bucket"),
+        col("n_rows"), col("n_bytes"), col("n_hosts"),
+        col("min_url_hash"), col("max_url_hash"))
       .as[PartitionLineage]
   }
 
@@ -86,6 +96,6 @@ object PayloadSink extends PayloadStore {
   def writeSeenDelta(delta: DataFrame, workDir: String, epoch: Int): Unit =
     delta.write.mode(SaveMode.Overwrite).parquet(s"$workDir/seen/epoch=$epoch")
 
-  def writeKeyed(ds: Dataset[KeyedUrl], dir: String): Unit =
-    ds.write.mode(SaveMode.Overwrite).parquet(dir)
+  def writeCarry(carry: DataFrame, dir: String): Unit =
+    carry.write.mode(SaveMode.Overwrite).partitionBy("queue").parquet(dir)
 }

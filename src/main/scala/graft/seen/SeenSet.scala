@@ -60,21 +60,50 @@ object SeenSet {
       }
   }
 
-  /** OR-merge two same-shape segment sets by bucket (driver-side — the
-    * broadcast-scale path where segments are MBs; the cogroup variant in
-    * [[unseenTwoTier]] shows the distributed merge shape for beyond-
-    * broadcast scale). Used by the epoch loop's INCREMENTAL bloom
-    * maintenance: segments(epoch) = segments(epoch-1) ∪ bloom(delta) —
-    * O(delta) per epoch instead of a full seen-store rescan, and since a
-    * bloom is an order-independent OR of bits, the incremental union is
-    * byte-identical to a fresh build over the whole store at the same
-    * shape (CrawlSpec asserts exactly that). */
+  /** OR-merge two same-shape segment sets by bucket (driver-side — test/
+    * spec helper at broadcast scale; the epoch loop uses the fully
+    * distributed [[mergeDeltaIntoSegments]]). Since a bloom is an
+    * order-independent OR of bits, the incremental union is byte-identical
+    * to a fresh build over the whole store at the same shape (CrawlSpec
+    * asserts exactly that). */
   def mergeSegmentArrays(a: Seq[(Int, Array[Byte])], b: Seq[(Int, Array[Byte])])
       : Seq[(Int, Array[Byte])] =
     (a ++ b).groupBy(_._1).map { case (bucket, segs) =>
       bucket -> segs.map(s => LongBloom.deserialize(s._2))
         .reduce(_ union _).serialize()
     }.toSeq.sortBy(_._1)
+
+  /** Fully distributed incremental bloom maintenance:
+    * segments(epoch) = segments(epoch-1) ∪ bloom(delta), computed as ONE
+    * cogroup of the delta's (host_bucket, url_hash) keys with the persisted
+    * segment set — the delta keys shuffle once on their bucket, the prior
+    * segments ship as ≤ buckets rows, and NOTHING key- or segment-sized
+    * ever lands on the driver (at 10^10 seen keys the segment set is ~12 GB;
+    * a per-epoch driver round-trip of it is the exact anti-pattern this
+    * replaces). A bucket with prior keys but no delta keeps its segment; a
+    * bucket with delta but no prior segment builds fresh; byte-identical to
+    * a fresh full-store build at the same shape (bloom OR is
+    * order-independent — CrawlSpec pins the equality).
+    *
+    * `delta` columns: host_bucket (int-castable), url_hash (long). */
+  def mergeDeltaIntoSegments(delta: DataFrame,
+      prev: Dataset[(Int, Array[Byte])], expectedPerBucket: Long,
+      fpp: Double): Dataset[(Int, Array[Byte])] = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    delta.select(col("host_bucket").cast("int"), col("url_hash").cast("long"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .cogroup(prev.groupByKey(_._1)) { (bucket, keys, segs) =>
+        val bloom = segs.map(s => LongBloom.deserialize(s._2))
+          .reduceOption(_ union _)
+          .getOrElse(LongBloom.create(expectedPerBucket, fpp))
+        keys.foreach(k => bloom.put(k._2))
+        // cogroup invokes this only for buckets present on ≥1 side, so
+        // every emitted segment covers a bucket that genuinely has keys
+        Iterator.single((bucket, bloom.serialize()))
+      }
+  }
 
   /** Two-tier unseen with a BROADCAST bloom probe: segments are collected
     * (they are tiny relative to the seen set — ~1.2 bytes/key at 1% fpp),

@@ -612,8 +612,8 @@ class CrawlSpec extends SparkSpec {
       }
       def writeSeenDelta(d: org.apache.spark.sql.DataFrame, w: String, e: Int): Unit =
         PayloadSink.writeSeenDelta(d, w, e)
-      def writeKeyed(ds: org.apache.spark.sql.Dataset[KeyedUrl], dir: String): Unit =
-        PayloadSink.writeKeyed(ds, dir)
+      def writeCarry(c: org.apache.spark.sql.DataFrame, dir: String): Unit =
+        PayloadSink.writeCarry(c, dir)
     }
     val cf = cfg.copy(workDir = wdP)
     val ran = CrawlLoop.run(spark, cf, store = PausingStore)
@@ -692,8 +692,7 @@ class CrawlSpec extends SparkSpec {
     // victim must re-enter the pipeline: fetched, retried, or deferred
     val reFetched = spark.read.parquet(s"$wd3/payload")
       .filter($"crawl_epoch" >= 1 && $"url_hash" === victim).count()
-    val reQueued = spark.read.parquet(s"$wd3/deferred/epoch=2")
-      .unionByName(spark.read.parquet(s"$wd3/retry/epoch=2"))
+    val reQueued = spark.read.parquet(s"$wd3/carry/epoch=2")
       .filter($"url_hash" === victim).count()
     assert(reFetched + reQueued > 0, "deleted URL was still seen-skipped")
     // control (not deleted) must stay skipped: no new row anywhere
@@ -850,8 +849,8 @@ class CrawlSpec extends SparkSpec {
         PayloadSink.writeMetrics(m, w, s)
       def writeSeenDelta(d: org.apache.spark.sql.DataFrame, w: String, e: Int): Unit =
         PayloadSink.writeSeenDelta(d, w, e)
-      def writeKeyed(ds: org.apache.spark.sql.Dataset[KeyedUrl], dir: String): Unit =
-        PayloadSink.writeKeyed(ds, dir)
+      def writeCarry(c: org.apache.spark.sql.DataFrame, dir: String): Unit =
+        PayloadSink.writeCarry(c, dir)
     }
     val cf = cfg.copy(workDir = wd5, stuckTimeoutMs = 1200)
     intercept[StuckEpochException] {
