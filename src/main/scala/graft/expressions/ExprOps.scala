@@ -292,6 +292,17 @@ object ExprOps {
   /** Sign-random-projection LSH bucket for a float embedding: `nBits`
     * deterministic hash-derived hyperplanes; sign bits packed to a long.
     * plane(b, i) = centered hash of (seed, b, i) in [-0.5, 0.5). */
+  /** All `tables` SRP buckets of `vec` (table t seeded `baseSeed + t`). */
+  def srpBuckets(vec: ArrayData, nBits: Int, tables: Int, baseSeed: Long): ArrayData = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      out(t) = srpBucket(vec, nBits, baseSeed + t)
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def srpBucket(vec: ArrayData, nBits: Int, seed: Long): Long = {
     val n = vec.numElements()
     var out = 0L

@@ -126,6 +126,22 @@ case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
   override def prettyName: String = "srp_bucket"
 }
 
+/** All `tables` SRP bucket keys of a vector in ONE pass (multi-table
+  * OR-amplified LSH: table t uses seed `baseSeed + t`) — the per-row hot
+  * loop of the LSH near-dup edge feed (q41). One expression evaluation
+  * per row instead of `tables` separate probes. */
+case class SrpBucketsExpr(child: Expression, nBits: Int, tables: Int, baseSeed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.srpBuckets(v.asInstanceOf[ArrayData], nBits, tables, baseSeed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.srpBuckets($c, $nBits, $tables, ${baseSeed}L);")
+  override protected def withNewChildInternal(c: Expression): SrpBucketsExpr = copy(child = c)
+  override def prettyName: String = "srp_buckets"
+}
+
 /** Column-level entry points for the native expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -141,6 +157,9 @@ object GraftFunctions {
 
   def srpBucket(vec: Column, nBits: Int = 8, seed: Long = 42L): Column =
     Bridge.column(SrpBucketExpr(Bridge.expression(vec), nBits, seed))
+
+  def srpBuckets(vec: Column, nBits: Int, tables: Int, baseSeed: Long = 1000L): Column =
+    Bridge.column(SrpBucketsExpr(Bridge.expression(vec), nBits, tables, baseSeed))
 
   def shingleHashes(text: Column, k: Int = 5): Column =
     Bridge.column(ShingleHashes64Expr(Bridge.expression(text), k))

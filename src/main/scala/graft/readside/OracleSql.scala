@@ -150,9 +150,9 @@ private object LshOracleSql {
 /** DuckDB oracle SQL for each SQL-expressible entry in [[Queries]].
   * Mirrors the Spark expression trees exactly (same aliases, same float
   * discipline, same total ORDER BY) so the driver's sorted-column value
-  * hash matches. Queries without an entry here (q26, q30, q31 and the
-  * crawl pipeline) get the driver's rows-only check and are instead
-  * verified by ScalaTest properties.
+  * hash matches. Queries without an entry here (q31 and the crawl
+  * pipeline) get the driver's rows-only check and are instead verified
+  * by ScalaTest properties.
   */
 object OracleSql {
 
@@ -553,32 +553,12 @@ object OracleSql {
              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
       ORDER BY id_a, id_b""",
 
-    // connected components as a recursive transitive closure: reach(a,b)
-    // enumerates every node reachable from a over the symmetric near-dup
-    // edge set (UNION dedups rows, so the recursion terminates);
-    // rep = min reachable id — exactly the fixpoint the Spark-side
-    // min-label propagation converges to
-    "q41_dedup_clusters" -> """
-      WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4
-      ), edges AS (
-        SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
-      ), reach(a, b) AS (
-        SELECT id_a, id_a FROM edges
-        UNION
-        SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a
-      ), labels AS (
-        SELECT a AS vec_id, min(b) AS cluster_rep FROM reach GROUP BY a
-      )
-      SELECT l.vec_id, l.cluster_rep, s.cluster_size
-      FROM labels l
-      JOIN (SELECT cluster_rep, count(*) AS cluster_size
-            FROM labels GROUP BY cluster_rep) s USING (cluster_rep)
-      ORDER BY l.vec_id""",
+    // LSH-edge connected components: the oracle replicates the engine's
+    // ENTIRE default path — multi-table SRP candidates, exact cosine
+    // confirm, then the transitive closure (rep = min reachable id, the
+    // min-label fixpoint) — so the sub-quadratic edge feed itself is
+    // value-gated, not just the clustering (see [[SrpOracleSql]]).
+    "q41_dedup_clusters" -> SrpOracleSql.q41Sql,
 
     // decontamination: string word-4-grams on the oracle side vs hashed
     // grams on the Spark side (same pairing as q39 — counts agree absent
@@ -610,6 +590,16 @@ object OracleSql {
     // collisions, then the relational exact-jaccard confirm with the
     // all-integer threshold and ×10⁴ value.
     "q27_minhash_lsh" -> LshOracleSql.sql,
+
+    // SimHash pigeonhole blocking: the oracle replicates simhash64
+    // bit-for-bit (FNV-1a token hashes as HUGEINT left folds, bit votes,
+    // sign pack) plus the 4×16-bit band split — see [[SimhashOracleSql]].
+    "q26_simhash_blocks" -> SimhashOracleSql.q26Sql,
+
+    // SRP-LSH: hyperplanes re-derived from the engine's mix() hash in
+    // staged integer SQL, projections as deterministic left folds, bit
+    // width integer-exact — see [[SrpOracleSql]].
+    "q30_srp_ann" -> SrpOracleSql.q30Sql,
 
     "q43_stratified_sample" -> """
       WITH r AS (

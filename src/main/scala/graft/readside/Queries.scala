@@ -545,12 +545,19 @@ object Queries {
     * expected bucket occupancy stays ~targetBucket and the within-bucket
     * self-join stays linear — a fixed width means buckets of n/2^bits rows
     * and a quadratic blowup at 100× the corpus. */
+  /** Corpus-scaled SRP bit width: smallest b in [4,24] with 2^b ≥ ⌈n/32⌉ —
+    * expected bucket occupancy stays ~32 as the corpus grows. INTEGER
+    * arithmetic on both sides of the oracle gate (a float log2 could
+    * ceil differently between JVM and DuckDB exactly at powers of two). */
+  private[graft] def srpBitsFor(n: Long): Int = {
+    val m = math.max(1L, (n + 31) / 32)
+    (4 to 24).find(b => (1L << b) >= m).getOrElse(24)
+  }
+
   def q30SrpAnn(s: SparkSession, dir: String): DataFrame = {
     val eAll = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val n = eAll.count() // one cheap count-from-metadata scan
-    val targetBucket = 32.0
-    val nBits = math.min(24, math.max(4,
-      math.ceil(math.log(math.max(1.0, n / targetBucket)) / math.log(2)).toInt))
+    val nBits = srpBitsFor(n)
     val e = eAll
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("bucket", GraftFunctions.srpBucket(col("embedding"), nBits))
@@ -818,11 +825,59 @@ object Queries {
       .orderBy(col("host_bucket"))
   }
 
-  /** Near-dup CLUSTERING: connected components over the embedding-cosine
-    * pair graph (q29's edges) by iterative min-label propagation to a
-    * fixpoint — the step that turns pair LISTS into dedup DECISIONS
-    * (canonical representative = min vec_id per component; everything
-    * else in the component is a near-duplicate of it).
+  /** LSH-confirmed near-dup EDGES — the sub-quadratic edge feed for the
+    * q41 clustering: multi-table SRP bucket candidates (OR-amplified LSH,
+    * table t seeded `1000 + t`, bit width from [[srpBitsFor]]) joined
+    * within (table, bucket), then EXACT cosine confirm ≥ `threshold`.
+    *
+    * Scale shape: candidate volume ~ n · tables · bucket-occupancy with
+    * occupancy held ~constant by the growing bit width — never the
+    * all-pairs O(n²) theta join (q29, kept as the exactness baseline).
+    * Precision is exact (every emitted edge is confirmed ≥ threshold);
+    * recall is the standard LSH trade and is MEASURED, not assumed:
+    * ReadsideSpec pins the per-fixture recall vs q29 (deterministic for
+    * fixed seeds). On the near-random synthetic fixture at the weak
+    * threshold 0.4 the measured recall is 0.95 at sf0.01 / 0.67 at sf0.1
+    * with 16 tables — real near-dup corpora sit at far higher cosine
+    * where the same parameters recall ≈ 1; pushing THIS fixture to full
+    * recall at 0.4 costs more candidate pairs than the exact join
+    * (measured: b=4/L=64 generates 8.3M candidate slots vs 2.0M exact
+    * pairs at sf0.1), so the exact pass stays the right tool at small n
+    * and LSH the right tool at scale. */
+  private[graft] def lshNearDupEdges(s: SparkSession, dir: String,
+      threshold: Double = 0.4, tables: Int = 16): DataFrame = {
+    val eAll = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val nBits = srpBitsFor(eAll.count())
+    val e = eAll.repartition(s.sparkContext.defaultParallelism)
+    val keyed = e.select(col("vec_id"),
+      posexplode(GraftFunctions.srpBuckets(col("embedding"), nBits, tables))
+        .as(Seq("t", "bucket")))
+    // slim (id, table, bucket) rows shuffle for the bucket join; the
+    // embeddings join back by id only for the ≤ candidate-sized confirm
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // a pair can collide in several tables
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("emb_a"), col("emb_b")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** Near-dup CLUSTERING: connected components over the LSH-confirmed
+    * near-dup edge set ([[lshNearDupEdges]] — NOT the all-pairs q29 join,
+    * which stays the exactness/recall baseline) by iterative min-label
+    * propagation to a fixpoint — the step that turns pair LISTS into
+    * dedup DECISIONS (canonical representative = min vec_id per
+    * component; everything else in the component is a near-duplicate of
+    * it). Value-gated end to end: the DuckDB oracle replicates the SRP
+    * projections, bucket keys, cosine confirm AND the transitive closure
+    * bit-for-bit (SrpOracleSql), so the LSH mechanics are part of the
+    * gate, exactly as q27's minhash oracle gates its banding.
     *
     * Scale shape: each round is one broadcast-able join + one hash-agg
     * min; rounds = component diameter, which for near-dup graphs is tiny
@@ -833,7 +888,7 @@ object Queries {
     * Components in MapReduce and Beyond", SoCC 2014). Every round's
     * result is cache-materialized so lineage stays one round deep. */
   def q41DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(s, q29CosineNearDup(s, dir))
+    connectedComponents(s, lshNearDupEdges(s, dir))
       .select(col("id").as("vec_id"), col("rep").as("cluster_rep"),
         col("cluster_size"))
       .orderBy(col("vec_id"))

@@ -938,4 +938,69 @@ class CrawlSpec extends SparkSpec {
       .select("url_hash").as[Long].collect().toSet
     assert(again == first)
   }
+
+  test("cogrouped seen tier: full loop with segments never collected reproduces the run") {
+    // maxSeenFracForBroadcast = -1 forces the fully distributed two-tier
+    // confirm (cogrouped segments + exact anti-join) for every epoch with
+    // a seen store: the ONLY code path that collects segments is the
+    // broadcast probe, and this run never enters it — so the loop runs
+    // start-to-finish with bloom segments living exclusively in executors
+    // (the 10^10-seen-keys shape). Membership and metrics must equal the
+    // broadcast-tier run bit for bit.
+    val c = cfg.copy(workDir = tmpDir(), maxSeenFracForBroadcast = -1.0)
+    val mCg = CrawlLoop.run(spark, c)
+    val seenCg = spark.read.parquet(s"${c.workDir}/seen/epoch=*")
+      .select("url_hash").as[Long].collect().toSet
+    assert(seenCg == sim.seen, "cogroup tier diverged from simulator membership")
+    // per-epoch counter equality with the (broadcast-tier) shared run
+    mCg.zip(metrics).foreach { case (a, b) =>
+      assert((a.n_candidates, a.n_dup_in_epoch, a.n_seen_skipped, a.n_admitted,
+        a.n_deferred, a.n_processed, a.n_failed, a.n_rejected, a.n_hosts) ==
+        (b.n_candidates, b.n_dup_in_epoch, b.n_seen_skipped, b.n_admitted,
+          b.n_deferred, b.n_processed, b.n_failed, b.n_rejected, b.n_hosts),
+        s"epoch ${a.epoch} counters diverge between seen tiers")
+    }
+  }
+
+  test("epoch-age invariance: per-epoch job count and driver work stay flat over 12 epochs") {
+    // the design claim: per-epoch cost is O(epoch data), never O(store)
+    // or O(epochs) — incremental blooms, O(1) segment dirs, carry table,
+    // consolidation cadence. Count SCHEDULED JOBS per epoch via a
+    // listener: creep in job count is the canary for accidental
+    // O(crawl-age) work (a full-store rescan shows up as extra jobs
+    // long before it shows up reliably in small-scale wall time).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobsPerEpoch = scala.collection.mutable.Map.empty[Int, Int]
+    @volatile var currentEpoch = -1
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val e = currentEpoch
+        if (e >= 0) jobsPerEpoch.synchronized {
+          jobsPerEpoch(e) = jobsPerEpoch.getOrElse(e, 0) + 1
+        }
+      }
+    }
+    val c = cfg.copy(workDir = tmpDir(), totalUrls = 6000, epochs = 12,
+      consolidateEvery = 4, latestCompactEvery = 4)
+    spark.sparkContext.addSparkListener(listener)
+    try (0 until c.epochs).foreach { e =>
+      currentEpoch = e
+      CrawlLoop.run(spark, c, stopAfter = 1)
+    } finally {
+      currentEpoch = -1
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // steady state = epochs 2..11 (0/1 have unique plan shapes: no seen
+    // store yet / first bloom epoch). Consolidation epochs run a few
+    // extra maintenance jobs by design — compare like with like.
+    val steady = (2 until c.epochs).filterNot(e => (e + 1) % c.consolidateEvery == 0)
+      .map(jobsPerEpoch(_))
+    assert(steady.nonEmpty)
+    assert(steady.max - steady.min <= 2,
+      s"per-epoch job count creeps with crawl age: $jobsPerEpoch")
+    // and the LAST steady epoch must not run more jobs than the first —
+    // growth, not variance, is the failure mode
+    assert(steady.last <= steady.head + 2,
+      s"job count grew from ${steady.head} to ${steady.last}: $jobsPerEpoch")
+  }
 }
