@@ -71,6 +71,18 @@ object ExprOps {
     cap.toInt
   }
 
+  /** Loud failure when an open-addressing table saturates: at the 2^30
+    * clamp with > 2^30 DISTINCT entries the linear-probe insert loop
+    * would otherwise spin forever once load factor hits 1.0 — and on a
+    * 30 GB+ heap the 8 GB allocation succeeds, so the allocation failure
+    * the clamp comment used to rely on never fires. Checked after every
+    * NEW insert, so the throw is guaranteed regardless of heap size. */
+  @inline private def checkTableFull(cnt: Int, cap: Int): Unit =
+    if (cnt >= cap)
+      throw new IllegalStateException(
+        s"open-addressing table saturated: $cnt distinct entries at capacity $cap " +
+          "(input has more distinct windows/grams than the 2^30-slot clamp)")
+
   /** Document fingerprint: minimum of Rabin-Karp rolling hashes over all
     * `k`-byte windows (winnowing with a single global window — a compact,
     * shift-tolerant content fingerprint). Text shorter than k hashes whole. */
@@ -146,7 +158,7 @@ object ExprOps {
         if (table(idx) == h) seen = true
         else idx = (idx + 1) & (cap - 1)
       }
-      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1 }
+      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1; checkTableFull(cnt, cap) }
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -199,7 +211,7 @@ object ExprOps {
         if (table(idx) == h) seen = true
         else idx = (idx + 1) & (cap - 1)
       }
-      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1 }
+      if (!seen) { table(idx) = h; out(cnt) = h; cnt += 1; checkTableFull(cnt, cap) }
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -235,6 +247,7 @@ object ExprOps {
     val cap = tableCap(nGrams)
     val table = new Array[Long](cap) // open addressing; 0 = empty slot
     val counts = new Array[Long](cap)
+    var filled = 0
     var best = 0L
     i = 0
     while (i < nGrams) {
@@ -244,6 +257,7 @@ object ExprOps {
       if (h == 0L) h = 1L
       var idx = (mix(h) & (cap - 1)).toInt
       while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & (cap - 1)
+      if (table(idx) == 0L) { filled += 1; checkTableFull(filled, cap) }
       table(idx) = h
       counts(idx) += 1L
       if (counts(idx) > best) best = counts(idx)

@@ -55,8 +55,20 @@ object QuerySanitizer {
         var a = 0
         while (a < t.length && t.charAt(a) == '"') a += 1
         var b = t.length
-        while (b > a && t.charAt(b - 1) == '"' &&
-            (b - 2 < a || t.charAt(b - 2) != '\\')) b -= 1
+        // the closing quote is REAL (a controller wrapper, strip it) iff
+        // the run of backslashes before it has even length — an odd run
+        // means the quote itself is escaped (a user literal, keep it).
+        // Checking only one previous char broke the inverse property for
+        // terms ending in an escaped backslash: escapeValue("foo\\") puts
+        // `"foo\\"` on the wire, whose closing quote follows TWO
+        // backslashes (an escaped backslash, not an escaped quote).
+        def closingQuoteAt(pos: Int): Boolean = {
+          if (pos <= a || t.charAt(pos - 1) != '"') return false
+          var k = pos - 2
+          while (k >= a && t.charAt(k) == '\\') k -= 1
+          (pos - 2 - k) % 2 == 0
+        }
+        while (closingQuoteAt(b)) b -= 1
         t = t.substring(a, b)
         // backslash-escapes: \x → x (a trailing lone backslash drops)
         val sb = new StringBuilder(t.length)

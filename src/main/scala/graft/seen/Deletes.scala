@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   *    keys) streams through executors; the driver sees one count.
   *  - [[applyTombstones]] is the read-side merge: a broadcast
   *    cuckoo-segment probe marks the (few) possibly-deleted rows, and
-  *    ONLY those are confirmed against the exact tombstone table via the
-  *    INVERTED broadcast join (tombstones LEFT SEMI broadcast(sliver),
-  *    then sliver LEFT ANTI broadcast(hits)) — the tombstone table is
-  *    scanned, never shuffled, never collected; the same two-tier shape
-  *    as the bloom seen-probe, but with a cuckoo because blooms cannot
-  *    delete (SURVEY.md §2.10). Cuckoo negatives skip the join entirely,
-  *    so membership stays byte-exact (no false negatives) while the join
+  *    ONLY those are confirmed against the exact tombstone table —
+  *    broadcast when the tombstone COUNT is under [[BroadcastTombMax]],
+  *    a shuffle anti-join (sliver + tombstones move, `kept` never does)
+  *    above it. The fp-sliver itself is NEVER broadcast: its size is
+  *    true-hits + fp·|seen|, unbounded in both terms on a full-store
+  *    merge-on-read before compaction. Same two-tier shape as the bloom
+  *    seen-probe, but with a cuckoo because blooms cannot delete
+  *    (SURVEY.md §2.10). Cuckoo negatives skip the join entirely, so
+  *    membership stays byte-exact (no false negatives) while the join
   *    sees only the fp-rate sliver.
   *  - [[compact]] rewrites exactly the store partitions that contain
   *    tombstoned keys (partition-level rewrite, others untouched) and
@@ -130,9 +132,21 @@ object SeenDeletes {
     }))
   }
 
+  /** Tombstone-count ceiling for broadcasting the tombstone table in the
+    * exact confirm (~32 MB of longs — comfortably under the broadcast
+    * cap). Above it the confirm is a shuffle anti-join of the fp-sliver
+    * against the tombstones: both sides stay distributed, so a full-store
+    * merge-on-read before compaction (sliver ≈ every tombstoned row, the
+    * deleteByQuery-scale case) can never trip the driver/broadcast
+    * ceiling. NOTE the sliver itself is NEVER broadcast on either path:
+    * its size is true-hits + fp·|seen| — unbounded in both terms. */
+  private[graft] val BroadcastTombMax = 4000000L
+
   /** Merge-on-read: drop tombstoned rows from a seen frame
-    * ("url_hash" keyed). Byte-exact (cuckoo prefilter + exact confirm). */
-  def applyTombstones(spark: SparkSession, workDir: String, seen: DataFrame): DataFrame =
+    * ("url_hash" keyed). Byte-exact (cuckoo prefilter + exact confirm).
+    * `broadcastTombMax` is test-injectable to force the shuffle path. */
+  def applyTombstones(spark: SparkSession, workDir: String, seen: DataFrame,
+      broadcastTombMax: Long = BroadcastTombMax): DataFrame =
     loadSegments(spark, workDir) match {
       case None => seen
       case Some((nSegs, segMap)) =>
@@ -146,13 +160,15 @@ object SeenDeletes {
         val flagged = seen.withColumn("maybe_del__", maybeDeleted(col("url_hash")))
         val kept = flagged.filter(!col("maybe_del__")).drop("maybe_del__")
         val sliver = flagged.filter(col("maybe_del__")).drop("maybe_del__")
-        // INVERTED confirm (the unseenTwoTierBroadcast shape): the
-        // tombstone table streams through one scan against the broadcast
-        // sliver keys — broadcasting `tombs` itself would put every
-        // tombstoned key on the driver, the deleteByQuery-scale OOM
-        val hits = tombs
-          .join(broadcast(sliver.select(col("url_hash"))), Seq("url_hash"), "left_semi")
-        val survivors = sliver.join(broadcast(hits), Seq("url_hash"), "left_anti")
+        // exact confirm, count-gated (the count is one cheap metadata
+        // scan of the tombstone parquet). Small tombstone table →
+        // broadcast IT (bounded by the gate); big → shuffle anti-join,
+        // which moves only the sliver + tombstones, never `kept`.
+        val tombCount = tombs.count()
+        val survivors =
+          if (tombCount <= broadcastTombMax)
+            sliver.join(broadcast(tombs), Seq("url_hash"), "left_anti")
+          else sliver.join(tombs, Seq("url_hash"), "left_anti")
         kept.unionByName(survivors)
     }
 
@@ -173,14 +189,19 @@ object SeenDeletes {
     val maybeVictim = udf((h: Long) =>
       bc.value.get(segBucket(h, nSegs)).exists(_.contains(h)))
     val tombs = spark.read.parquet(tombDir(workDir)).select(col("url_hash"))
+    val tombCount = tombs.count()
     epochDirs.filter(d => fsys.exists(new Path(d))).foreach { d =>
       val part = spark.read.parquet(d)
       val candidates = part.filter(maybeVictim(col("url_hash")))
         .select(col("url_hash"))
-      // exact: does ANY tombstone match this partition's fp sliver?
-      val hit = tombs
-        .join(broadcast(candidates), Seq("url_hash"), "left_semi")
-        .limit(1).count() > 0
+      // exact: does ANY tombstone match this partition's fp sliver? Same
+      // gate as applyTombstones — the candidate sliver is never broadcast
+      // (its size is fp-rate × partition, unbounded on large stores).
+      val hit = (
+        if (tombCount <= BroadcastTombMax)
+          candidates.join(broadcast(tombs), Seq("url_hash"), "left_semi")
+        else candidates.join(tombs, Seq("url_hash"), "left_semi")
+      ).limit(1).count() > 0
       if (hit) {
         val tmp = s"$d.compact.tmp"
         applyTombstones(spark, workDir, part)

@@ -747,6 +747,14 @@ class CrawlSpec extends SparkSpec {
     assert(mor.count() == expect.count())
     assert(mor.join(victims, Seq("url_hash"), "left_semi").count() == 0,
       "a tombstoned key survived the merge-on-read view")
+    // BEYOND-broadcast tier: forcing the shuffle confirm (tomb gate = 0,
+    // the deleteByQuery-scale path where nothing is broadcast at all)
+    // must be value-identical to the broadcast-tier view
+    val morShuffle = SeenDeletes.applyTombstones(spark, wd, store,
+      broadcastTombMax = 0L)
+    assert(morShuffle.exceptAll(mor).count() == 0 &&
+      mor.exceptAll(morShuffle).count() == 0,
+      "shuffle-confirm tier diverges from the broadcast tier")
     // compaction rewrites the partition and the physical store matches
     // (victim check re-derived from the predicate — the lazy `victims`
     // frame would re-read the now-rewritten store and assert vacuously)

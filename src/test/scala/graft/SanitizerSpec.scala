@@ -47,6 +47,14 @@ class SanitizerSpec extends SparkSpec {
     // hostile composite: quoted phrase + specials + noise
     assert(QuerySanitizer.searchTerms("  \"spark\"   j\\*oin   +  ") ==
       Seq("spark", "j*oin", "+"))
+    // terms ENDING in an escaped backslash: the wire form `"foo\\"` ends
+    // in backslash-backslash-quote — an EVEN backslash run, so the quote
+    // is the controller's wrapper and must strip, recovering foo\ (the
+    // single-char lookbehind misread it as an escaped quote → foo")
+    val bs = QuerySanitizer.quoteValue(QuerySanitizer.escapeValue("foo\\"))
+    assert(QuerySanitizer.searchTerms(bs) == Seq("foo\\"))
+    // and an ODD run (escaped quote literal) still keeps the quote
+    assert(QuerySanitizer.searchTerms("bar\\\"") == Seq("bar\""))
   }
 
   test("q17: sanitized hostile spelling of the clean query returns identical rows") {
