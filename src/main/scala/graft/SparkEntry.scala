@@ -84,7 +84,8 @@ object SparkEntry {
     "c15_image_dedup_clusters" -> (CrawlQueries.c15ImageDedupClusters _),
     "c16_multimodal_consensus" -> (CrawlQueries.c16MultimodalConsensus _),
     "c17_caption_extraction" -> (CrawlQueries.c17CaptionExtraction _),
-    "c18_discovery_bounds" -> (CrawlQueries.c18DiscoveryBounds _)
+    "c18_discovery_bounds" -> (CrawlQueries.c18DiscoveryBounds _),
+    "c19_deep_validation" -> (CrawlQueries.c19DeepValidation _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

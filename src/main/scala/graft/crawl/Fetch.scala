@@ -131,6 +131,83 @@ object Validate {
       }
       .toDF("image_id", "ok", "reason", "psnr")
   }
+
+  /** Typed error/warning codes emitted by [[deepValidate]]. */
+  object Deep {
+    val DocidFormat = "DOCID_FORMAT"
+    val CaptionGrammar = "CAPTION_GRAMMAR"
+    val CaptionDocid = "CAPTION_DOCID_MISMATCH"
+    val CaptionHost = "CAPTION_HOST_MISMATCH"
+    val UrlHost = "URL_HOST_MISMATCH"
+    val PsnrFloor = "PSNR_FLOOR"
+    val LosslessInexact = "LOSSLESS_INEXACT"
+    val EmptyBody = "EMPTY_BODY"
+    val NoReason = "MISSING_REJECT_REASON"
+    val Dimensions = "DIMENSIONS"
+    val WPsnrNearFloor = "PSNR_NEAR_FLOOR"
+    val WFlatImage = "FLAT_IMAGE"
+    val WSlot = "SLOT_OUT_OF_RANGE"
+    val WOversizeNear = "NEAR_SIZE_CAP"
+  }
+
+  /** P23 deep structural validator — the analogue of the reference's
+    * per-element LegalDocML walk (validator/LegalDocMLValidator.java:
+    * 184-383: eId/wId/GUID regex per element, FRBR cross-references,
+    * collected into errors/warnings lists): a per-row STRUCTURED
+    * validation over the stored payload producing a
+    * `validation: struct<errors: array<string>, warnings: array<string>>`
+    * column, not just a scalar reason. Every check parses STRINGS the
+    * fetch pipeline wrote (caption grammar, docid format, URL host) and
+    * cross-references them against the row's typed columns — the c17
+    * soundness discipline, element by element:
+    *  - errors: docid format (court prefix + 7 digits), caption grammar +
+    *    caption⇄typed docid/host consistency, url_canon⇄host consistency,
+    *    PSNR floor (lossy) / bit-exactness (lossless), empty stored body
+    *    on PROCESSED, missing typed reason on non-PROCESSED, dimension
+    *    sanity vs the bomb ceiling;
+    *  - warnings: near-floor PSNR, flat (zero-variance) image, politeness
+    *    slot out of range, body near the size cap.
+    * Pure Column expressions (no UDF): stays inside whole-stage codegen
+    * and never reads `bytes`. */
+  def deepValidate(payload: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val capRe = "^Decision document (\\S+) published by (\\S+)$"
+    val docid = expr("substring(image_id, 1, length(image_id) - 17)")
+    val capDocid = regexp_extract(col("caption"), capRe, 1)
+    val capHost = regexp_extract(col("caption"), capRe, 2)
+    val urlHost = regexp_extract(col("url_canon"), "^https?://([^/]+)/", 1)
+    val processed = col("status") === Status.Processed
+    def e(cond: Column, code: String): Column = when(cond, lit(code))
+    val errors = array_compact(array(
+      e(!docid.rlike("^(KARE|KORE|KSRE|WBRE|JURE)\\d{7}$"), Deep.DocidFormat),
+      e(processed && !col("caption").rlike(capRe), Deep.CaptionGrammar),
+      e(processed && col("caption").rlike(capRe) && capDocid =!= docid,
+        Deep.CaptionDocid),
+      e(processed && col("caption").rlike(capRe) && capHost =!= col("host"),
+        Deep.CaptionHost),
+      e(urlHost =!= col("host"), Deep.UrlHost),
+      e(processed && col("fmt") =!= "png" &&
+        col("psnr") < lit(Fetch.PsnrFloorDb), Deep.PsnrFloor),
+      e(processed && col("fmt") === "png" && col("psnr") < lit(99.0),
+        Deep.LosslessInexact),
+      e(processed && col("n_bytes") === 0L, Deep.EmptyBody),
+      e(!processed && length(col("reject_reason")) === 0, Deep.NoReason),
+      e(processed && (col("w") <= 0 || col("h") <= 0 ||
+        col("w").cast("long") * col("h") > lit(SecurityPredicates.MaxDeclaredPixels)),
+        Deep.Dimensions)))
+    val warnings = array_compact(array(
+      e(processed && col("fmt") =!= "png" &&
+        col("psnr") >= lit(Fetch.PsnrFloorDb) && col("psnr") < lit(42.0),
+        Deep.WPsnrNearFloor),
+      e(processed && col("std_luma") === 0.0, Deep.WFlatImage),
+      e(processed && (col("slot") < 1), Deep.WSlot),
+      e(col("n_bytes") > lit((SecurityPredicates.MaxDeclaredBytes * 9) / 10),
+        Deep.WOversizeNear)))
+    payload.select(col("image_id"), col("crawl_epoch"), col("status"),
+      struct(errors.as("errors"), warnings.as("warnings")).as("validation"))
+  }
 }
 
 object Fetch {
@@ -197,22 +274,26 @@ object Fetch {
           // source: the perceptual hash is the dedup key for what the
           // table actually holds, and lossy re-encodes of the same
           // document should land at small-but-nonzero hamming
-          val (status, psnr, reason, ph) = ImageCodec.decode(wire) match {
+          // ONE decode serves validation, phash AND the multimodal
+          // features (mean/std luma, edge energy) — the stored table
+          // carries them so the read side never re-decodes (c11)
+          val (status, psnr, reason, ph, feats) = ImageCodec.decode(wire) match {
             case Some((dw, dh, dfmt, px)) if dw == w && dh == h && dfmt == fmt =>
               val p = ImageCodec.psnr(src, px)
               val ok =
                 if (fmt == "png") p.isPosInfinity // lossless: bit-exact
                 else p >= PsnrFloorDb // lossy: 40dB floor
               val hash = ImageCodec.phash(px, w, h)
-              if (ok) (Status.Processed, p, "", hash)
-              else (Status.Failed, p, Reason.PsnrFloor, hash)
-            case Some(_) => (Status.Failed, 0.0, Reason.MetaMismatch, 0L)
-            case None => (Status.Failed, 0.0, Reason.DecodeError, 0L)
+              val st = graft.multimodal.Multimodal.lumaEdgeStats(px, w, h)
+              if (ok) (Status.Processed, p, "", hash, st)
+              else (Status.Failed, p, Reason.PsnrFloor, hash, st)
+            case Some(_) => (Status.Failed, 0.0, Reason.MetaMismatch, 0L, (0.0, 0.0, 0.0))
+            case None => (Status.Failed, 0.0, Reason.DecodeError, 0L, (0.0, 0.0, 0.0))
           }
           FetchResult(imageId, a.url_hash, a.url_canon, a.host, a.host_bucket,
             epoch, a.slot, wire, w, h, fmt, caption, ph, status,
             if (psnr.isPosInfinity) 99.0 else math.floor(psnr * 100) / 100,
-            reason)
+            reason, feats._1, feats._2, feats._3)
         }
       }
     }

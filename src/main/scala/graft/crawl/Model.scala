@@ -90,7 +90,15 @@ case class FetchResult(
       * util/XmlSanitizer.java:33-46): OVERSIZE | DIMENSION_BOMB |
       * NET_TRANSIENT | DECODE_ERROR | PSNR_FLOOR | META_MISMATCH,
       * empty for PROCESSED rows. */
-    reject_reason: String)
+    reject_reason: String,
+    /** Multimodal features computed AT FETCH TIME from the decode the
+      * validator already paid for (Multimodal.lumaEdgeStats) — the
+      * single-decode discipline: the read side (c11) aggregates these
+      * stored columns and never touches `bytes` again. Zero for rows
+      * that never decoded. */
+    mean_luma: Double = 0.0,
+    std_luma: Double = 0.0,
+    edge_energy: Double = 0.0)
 
 case class EpochMetrics(
     epoch: Int,

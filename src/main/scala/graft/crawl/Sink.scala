@@ -49,6 +49,7 @@ object PayloadSink extends PayloadStore {
         col("w"), col("h"), col("fmt"), col("caption"), col("phash"),
         col("url_hash"), col("url_canon"), col("host"), col("slot"),
         col("status"), col("psnr"), col("reject_reason"),
+        col("mean_luma"), col("std_luma"), col("edge_energy"),
         col("host_bucket"), col("crawl_epoch"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("host_bucket", "crawl_epoch")

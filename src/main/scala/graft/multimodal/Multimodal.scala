@@ -33,6 +33,40 @@ object Multimodal {
 
   case class Thumbnail(image_id: String, tw: Int, th: Int, thumb: Array[Byte])
 
+  /** Luma/edge feature kernel over already-decoded pixels — shared by
+    * [[extractFeatures]] AND the fetch pipeline (Fetch.fetch), which
+    * computes these at fetch time from the decode it already paid for, so
+    * the stored table carries the features and the read side (c11) never
+    * re-decodes (the single-decode discipline the text side has with
+    * q46's tokenize-once). Returns (mean_luma, std_luma, edge_energy),
+    * each floor-rounded to 2 decimals. */
+  def lumaEdgeStats(px: Array[Byte], w: Int, h: Int): (Double, Double, Double) = {
+    var sum = 0.0; var sq = 0.0
+    var i = 0
+    while (i < px.length) {
+      val v = (px(i) & 0xff).toDouble
+      sum += v; sq += v * v; i += 1
+    }
+    val n = px.length.toDouble
+    val mean = sum / n
+    val variance = math.max(0.0, sq / n - mean * mean)
+    // horizontal gradient energy (cheap edge signal)
+    var eg = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 1
+      while (x < w) {
+        val d = ((px(y * w + x) & 0xff) - (px(y * w + x - 1) & 0xff)).toDouble
+        eg += d * d
+        x += 1
+      }
+      y += 1
+    }
+    (math.floor(mean * 100) / 100,
+      math.floor(math.sqrt(variance) * 100) / 100,
+      math.floor(eg / n * 100) / 100)
+  }
+
   /** Decode + feature-extract, one codec context per partition. Decode
     * failures land as ok=false rows (error channel, not exceptions). */
   def extractFeatures(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
@@ -42,30 +76,9 @@ object Multimodal {
       it.map { r =>
         ImageCodec.decode(r.bytes) match {
           case Some((w, h, fmt, px)) =>
-            var sum = 0.0; var sq = 0.0
-            var i = 0
-            while (i < px.length) {
-              val v = (px(i) & 0xff).toDouble
-              sum += v; sq += v * v; i += 1
-            }
-            val n = px.length.toDouble
-            val mean = sum / n
-            val variance = math.max(0.0, sq / n - mean * mean)
-            // horizontal gradient energy (cheap edge signal)
-            var eg = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 1
-              while (x < w) {
-                val d = ((px(y * w + x) & 0xff) - (px(y * w + x - 1) & 0xff)).toDouble
-                eg += d * d
-                x += 1
-              }
-              y += 1
-            }
+            val (mean, std, edge) = lumaEdgeStats(px, w, h)
             ImageFeatures(r.image_id, ok = true, w, h, fmt,
-              math.floor(mean * 100) / 100, math.floor(math.sqrt(variance) * 100) / 100,
-              math.floor(eg / n * 100) / 100, ImageCodec.phash(px, w, h))
+              mean, std, edge, ImageCodec.phash(px, w, h))
           case None =>
             ImageFeatures(r.image_id, ok = false, 0, 0, "undecodable", 0, 0, 0, 0L)
         }

