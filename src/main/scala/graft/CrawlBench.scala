@@ -100,12 +100,32 @@ object CrawlBench {
     val cfg = CrawlConfig(workDir = wd, totalUrls = totalUrls, epochs = epochs,
       numHosts = numHosts, buckets = 32, budgetPerHost = budget, seed = 42L,
       maintainLatest = maintainLatest, maxSeenFracForBroadcast = maxSeenFrac)
+    // Per-epoch scheduled-job counts (epoch-age-flatness evidence: job
+    // count must not creep with crawl age). Attribution is via the
+    // `epoch=N ...` job descriptions runEpoch sets — the driver loop is
+    // single-threaded, so every job inherits the last-set description.
+    val epochJobs = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    if (sys.env.get("SPARK_GRAFT_EPOCH_WALLS").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val Ep = "epoch=(\\d+)".r
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          val e = Ep.findFirstMatchIn(desc).map(_.group(1).toInt).getOrElse(-1)
+          epochJobs.merge(e, 1, (a, b) => a + b)
+        }
+      })
+    }
     val t0 = System.nanoTime()
     val metrics = CrawlLoop.run(spark, cfg)
-    if (sys.env.get("SPARK_GRAFT_EPOCH_WALLS").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_EPOCH_WALLS").contains("1")) {
+      Thread.sleep(500) // listener bus is async; drain before reading counts
       metrics.foreach(m => System.err.println(
         f"EPOCH_WALL epoch=${m.epoch}%-4d ms=${m.duration_ms}%6d " +
-          f"candidates=${m.n_candidates}"))
+          f"candidates=${m.n_candidates} " +
+          f"jobs=${Option(epochJobs.get(m.epoch)).fold(0)(_.intValue)}"))
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     val candidates = metrics.map(_.n_candidates).sum
     println(f"CRAWL_BENCH cores=$cores urls=$totalUrls candidates=$candidates " +
