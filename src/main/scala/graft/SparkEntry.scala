@@ -85,7 +85,8 @@ object SparkEntry {
     "c16_multimodal_consensus" -> (CrawlQueries.c16MultimodalConsensus _),
     "c17_caption_extraction" -> (CrawlQueries.c17CaptionExtraction _),
     "c18_discovery_bounds" -> (CrawlQueries.c18DiscoveryBounds _),
-    "c19_deep_validation" -> (CrawlQueries.c19DeepValidation _)
+    "c19_deep_validation" -> (CrawlQueries.c19DeepValidation _),
+    "c20_snapshot_history" -> (CrawlQueries.c20SnapshotHistory _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

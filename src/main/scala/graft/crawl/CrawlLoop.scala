@@ -394,7 +394,7 @@ object CrawlLoop {
     // This write is the job that materializes BOTH frontier caches, so
     // the dedup/schedule observations complete with it.
     spark.sparkContext.setJobDescription(s"epoch=$epoch payload-write")
-    store.writePayload(results, cfg.workDir)
+    store.writePayload(results, cfg.workDir, epoch)
     // scheduled is materialized: release everything upstream of it
     seenCleanup()
     dedupTagged.unpersist()

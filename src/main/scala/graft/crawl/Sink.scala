@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * implement the six writes with `writeTo(table).overwritePartitions()`
   * and the epoch commit marker becomes the snapshot commit. */
 trait PayloadStore extends Serializable {
-  def writePayload(results: Dataset[FetchResult], workDir: String): Unit
+  /** Write one epoch's fetch results. `epoch` is the commit unit: a
+    * snapshot-logging store (graft.sources.SnapshotPayloadSink) commits
+    * one table snapshot per epoch under it. */
+  def writePayload(results: Dataset[FetchResult], workDir: String, epoch: Int): Unit
   def writeLineage(l: Dataset[PartitionLineage], workDir: String, epoch: Int): Unit
   def writeMetrics(m: EpochMetrics, workDir: String, spark: SparkSession): Unit
   /** Seen delta: success-only (url_hash, host_bucket) rows for `epoch`. */
@@ -40,7 +43,7 @@ object PayloadSink extends PayloadStore {
     * (host_bucket, crawl_epoch). `n_bytes` is materialized at write time
     * so every downstream metadata aggregation (lineage, metrics, stats)
     * reads a long column instead of re-scanning the binary payload. */
-  def writePayload(results: Dataset[FetchResult], workDir: String): Unit = {
+  def writePayload(results: Dataset[FetchResult], workDir: String, epoch: Int): Unit = {
     val spark = results.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     results.toDF()
@@ -56,9 +59,9 @@ object PayloadSink extends PayloadStore {
       .parquet(s"$workDir/payload")
   }
 
-  /** Back-compat alias. */
+  /** Back-compat alias (epoch rides on the rows' crawl_epoch column). */
   def write(results: Dataset[FetchResult], workDir: String): Unit =
-    writePayload(results, workDir)
+    writePayload(results, workDir, -1)
 
   /** Per-(epoch, host_bucket) lineage from the WRITTEN payload frame
     * (columns: host_bucket, host, url_hash, n_bytes): which partition wrote

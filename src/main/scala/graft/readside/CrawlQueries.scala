@@ -25,7 +25,11 @@ object CrawlQueries {
   private def crawlDir(spark: SparkSession): String = synchronized {
     if (cachedDir == null) {
       val wd = Files.createTempDirectory("graft-crawl-queries").toString
-      CrawlLoop.run(spark, cfgBase.copy(workDir = wd))
+      // the snapshot-logging store: identical data layer (PayloadSink
+      // writes), plus one SnapshotLog commit per epoch — c20 reads the
+      // resulting snapshot history; every other c0x query is unaffected
+      CrawlLoop.run(spark, cfgBase.copy(workDir = wd),
+        store = new graft.sources.SnapshotPayloadSink(cfgBase.buckets))
       cachedDir = wd
     }
     cachedDir
@@ -363,5 +367,22 @@ object CrawlQueries {
       .groupBy(col("severity"), col("code"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("severity"), col("code"))
+  }
+
+  /** c20 — S6 snapshot-table semantics over the payload sink
+    * (graft.sources.SnapshotLog): one snapshot per crawl epoch; per
+    * snapshot, the manifest stats plus a TIME-TRAVEL row count (reading
+    * exactly that snapshot's file set), which must be cumulative in
+    * epoch order. The Iceberg history()-table analogue (SURVEY.md §1.3;
+    * the reference's crawl-date commit unit). */
+  def c20SnapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val wd = crawlDir(s)
+    val log = new graft.sources.SnapshotPayloadSink(cfgBase.buckets).log(wd, s)
+    import s.implicits._
+    val counts = log.snapshotIds()
+      .map(id => (id, log.read(s, id).count()))
+      .toDF("snapshot_id", "n_rows_at_snapshot")
+    log.history(s).join(counts, "snapshot_id")
+      .orderBy(col("snapshot_id"))
   }
 }

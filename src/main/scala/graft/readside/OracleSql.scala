@@ -150,9 +150,9 @@ private object LshOracleSql {
 /** DuckDB oracle SQL for each SQL-expressible entry in [[Queries]].
   * Mirrors the Spark expression trees exactly (same aliases, same float
   * discipline, same total ORDER BY) so the driver's sorted-column value
-  * hash matches. Queries without an entry here (q31 and the crawl
-  * pipeline) get the driver's rows-only check and are instead verified
-  * by ScalaTest properties.
+  * hash matches. Queries without an entry here (the crawl pipeline's
+  * c-entries and the centroid-dependent q38) get the driver's rows-only
+  * check and are instead verified by ScalaTest properties.
   */
 object OracleSql {
 
@@ -600,6 +600,11 @@ object OracleSql {
     // staged integer SQL, projections as deterministic left folds, bit
     // width integer-exact — see [[SrpOracleSql]].
     "q30_srp_ann" -> SrpOracleSql.q30Sql,
+
+    // rolling-hash winnowing fingerprint: Rabin-Karp fold + murmur
+    // finalizer replicated mod 2^64 in staged HUGEINT SQL, unsigned
+    // per-doc min — see [[FingerprintOracleSql]].
+    "q31_fingerprint" -> FingerprintOracleSql.sql,
 
     "q43_stratified_sample" -> """
       WITH r AS (

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot log over a partitioned parquet table: an ordered
+  * chain of immutable MANIFESTS (file lists) under `<root>/_snapshots/`,
+  * giving the table-format semantics the north rule's nominal sink
+  * provides — atomic commits, time travel, rollback, snapshot expiry —
+  * without an Iceberg runtime (none ships in this container; SURVEY.md
+  * §1.3). The data layer is untouched: manifests point at the SAME
+  * partition-directory parquet files `PayloadSink` writes, so every
+  * raw-path reader (the crawl loop's touched-bucket read-back, the c0x
+  * queries) keeps working, while snapshot readers get a consistent
+  * point-in-time file set. This is Iceberg's own model — metadata over
+  * immutable data files — minus the catalog.
+  *
+  * Commit protocol (optimistic, like Iceberg's without a catalog lock):
+  * the manifest is written to a temp name and renamed to
+  * `snap-<id>` where id = current max + 1; a loser of a concurrent race
+  * finds its target name taken (rename fails / exists) and retries with
+  * the next id on top of the re-read head. Readers only ever see fully
+  * renamed manifests, so a crash mid-commit leaves the table at the
+  * parent snapshot plus orphan data files — which `expire` reclaims,
+  * exactly Iceberg's orphan-file story.
+  *
+  * Scale: a commit lists ONLY the leaf partition directories it touched
+  * (O(files-per-epoch), the same flat-cost discipline as the loop's
+  * touched-bucket read-back — never a full-table listing); `expire` is
+  * the one O(table) maintenance operation, as in Iceberg.
+  *
+  * Manifest format (one text file per snapshot, hadoop-FS portable):
+  * {{{
+  *   id=<id> parent=<parentId> op=<operation>
+  *   <bytes>\t<path relative to root>
+  *   ...
+  * }}}
+  */
+class SnapshotLog(root: String, conf: Configuration) extends Serializable {
+
+  import SnapshotLog._
+
+  private def fs: FileSystem = new Path(root).getFileSystem(conf)
+  private def metaDir = new Path(root, "_snapshots")
+
+  /** All committed snapshot ids, ascending. */
+  def snapshotIds(): Seq[Long] = {
+    val d = metaDir
+    val f = fs
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case SnapName(id) => id.toLong }.sorted
+  }
+
+  def currentId(): Option[Long] = snapshotIds().lastOption
+
+  def manifest(id: Long): Manifest = {
+    val p = new Path(metaDir, f"snap-$id%09d")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val Header = "id=(\\d+) parent=(-?\\d+) op=(.+)".r
+    val Header(i, par, op) = lines.head: @unchecked
+    val files = lines.tail.map { l =>
+      val Array(bytes, rel) = l.split('\t')
+      DataFile(rel, bytes.toLong)
+    }.toSeq
+    Manifest(i.toLong, par.toLong, op, files)
+  }
+
+  /** Commit a new snapshot: carry the parent's files minus any under the
+    * `replacedPartitions` prefixes (relative partition paths, e.g.
+    * `host_bucket=3/crawl_epoch=2` — idempotent-replay support: a
+    * dynamic-partition-overwrite re-write of an epoch supersedes exactly
+    * that epoch's files), plus every data file found under the
+    * `addedLeafDirs` (relative leaf partition dirs). Returns the new id. */
+  def commit(op: String, addedLeafDirs: Seq[String],
+      replacedPartitions: Seq[String] = Seq.empty): Long = {
+    val f = fs
+    val added = addedLeafDirs.flatMap { leaf =>
+      val dir = new Path(root, leaf)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .map(s => DataFile(s"$leaf/${s.getPath.getName}", s.getLen))
+    }
+    var attempt = 0
+    while (true) {
+      val parent = currentId()
+      val carried = parent.map(manifest(_).files).getOrElse(Seq.empty)
+        .filterNot(df => replacedPartitions.exists(p => df.path.startsWith(p + "/"))
+          // a replayed leaf dir replaces itself: drop stale entries for
+          // the added leaves too (their files were rewritten)
+          || addedLeafDirs.exists(p => df.path.startsWith(p + "/")))
+      val id = parent.getOrElse(-1L) + 1
+      val body = new StringBuilder()
+        .append(s"id=$id parent=${parent.getOrElse(-1L)} op=$op\n")
+      (carried ++ added).foreach(df => body.append(s"${df.bytes}\t${df.path}\n"))
+      f.mkdirs(metaDir)
+      val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+      val target = new Path(metaDir, f"snap-$id%09d")
+      // rename-if-absent = the atomic winner-takes-the-id step
+      if (!f.exists(target) && f.rename(tmp, target)) return id
+      f.delete(tmp, false)
+      attempt += 1
+      if (attempt > 64)
+        throw new IllegalStateException(
+          s"snapshot commit lost $attempt consecutive id races under $metaDir")
+    }
+    -1L // unreachable
+  }
+
+  /** Point-in-time read of exactly the snapshot's file set; partition
+    * columns come back via basePath, as in any partitioned parquet read. */
+  def read(spark: SparkSession, id: Long): DataFrame = {
+    val files = manifest(id).files
+    if (files.isEmpty)
+      // degenerate: an empty snapshot of a table that has a schema on disk
+      spark.read.parquet(root).limit(0)
+    else spark.read.option("basePath", root)
+      .parquet(files.map(df => s"$root/${df.path}"): _*)
+  }
+
+  def readLatest(spark: SparkSession): DataFrame =
+    read(spark, currentId().getOrElse(
+      throw new IllegalStateException(s"no snapshots under $root")))
+
+  /** Snapshot history as a DataFrame (the `history()` metadata table). */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshotIds().map { id =>
+      val m = manifest(id)
+      (m.id, m.parent, m.op, m.files.size.toLong, m.files.map(_.bytes).sum)
+    }.toDF("snapshot_id", "parent_id", "operation", "n_files", "n_bytes")
+  }
+
+  /** Roll the table back: a NEW head snapshot whose file set is snapshot
+    * `toId`'s (history is append-only; nothing is deleted — Iceberg's
+    * rollback semantics). */
+  def rollback(toId: Long): Long = {
+    val target = manifest(toId)
+    val f = fs
+    var attempt = 0
+    while (true) {
+      val parent = currentId().getOrElse(
+        throw new IllegalStateException("rollback on an empty snapshot log"))
+      val id = parent + 1
+      val body = new StringBuilder()
+        .append(s"id=$id parent=$parent op=rollback-to-$toId\n")
+      target.files.foreach(df => body.append(s"${df.bytes}\t${df.path}\n"))
+      val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+      val tgt = new Path(metaDir, f"snap-$id%09d")
+      if (!f.exists(tgt) && f.rename(tmp, tgt)) return id
+      f.delete(tmp, false)
+      attempt += 1
+      if (attempt > 64) throw new IllegalStateException("rollback id race")
+    }
+    -1L
+  }
+
+  /** Expire all but the last `keepLast` snapshots and delete data files no
+    * kept snapshot references (incl. orphans from crashed commits). The
+    * one O(table) maintenance pass, like Iceberg's expire_snapshots +
+    * remove_orphan_files. Returns (manifestsDeleted, dataFilesDeleted). */
+  def expire(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val f = fs
+    val ids = snapshotIds()
+    val (drop, keep) = ids.splitAt(math.max(0, ids.size - keepLast))
+    val live: Set[String] = keep.flatMap(manifest(_).files.map(_.path)).toSet
+    var dataDeleted = 0
+    val it = f.listFiles(new Path(root), true)
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val inMeta = rel.startsWith("_snapshots/")
+      if (st.isFile && !inMeta && !live.contains(rel)
+          && !st.getPath.getName.startsWith("_")) {
+        f.delete(st.getPath, false); dataDeleted += 1
+      }
+    }
+    drop.foreach(id => f.delete(new Path(metaDir, f"snap-$id%09d"), false))
+    (drop.size, dataDeleted)
+  }
+}
+
+object SnapshotLog {
+  final case class DataFile(path: String, bytes: Long)
+  final case class Manifest(id: Long, parent: Long, op: String, files: Seq[DataFile])
+  private val SnapName = "snap-(\\d+)".r
+}

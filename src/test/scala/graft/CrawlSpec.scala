@@ -730,8 +730,8 @@ class CrawlSpec extends SparkSpec {
     // a store hook that raises the pause flag DURING epoch 0 (the flag is
     // polled between epochs, as the reference polls between dates)
     object PausingStore extends PayloadStore {
-      def writePayload(r: org.apache.spark.sql.Dataset[FetchResult], w: String): Unit =
-        PayloadSink.writePayload(r, w)
+      def writePayload(r: org.apache.spark.sql.Dataset[FetchResult], w: String, e: Int): Unit =
+        PayloadSink.writePayload(r, w, e)
       def writeLineage(l: org.apache.spark.sql.Dataset[PartitionLineage], w: String, e: Int): Unit =
         PayloadSink.writeLineage(l, w, e)
       def writeMetrics(m: EpochMetrics, w: String, s: org.apache.spark.sql.SparkSession): Unit = {
@@ -976,7 +976,7 @@ class CrawlSpec extends SparkSpec {
     // a store whose payload write hangs, then dies without committing —
     // injected through the PayloadStore trait
     class SlowStore extends PayloadStore {
-      def writePayload(r: org.apache.spark.sql.Dataset[FetchResult], w: String): Unit = {
+      def writePayload(r: org.apache.spark.sql.Dataset[FetchResult], w: String, e: Int): Unit = {
         Thread.sleep(3000); throw new RuntimeException("slow store died")
       }
       def writeLineage(l: org.apache.spark.sql.Dataset[PartitionLineage], w: String, e: Int): Unit =

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.crawl.{CrawlConfig, CrawlLoop}
+import graft.sources.{SnapshotLog, SnapshotPayloadSink}
+
+/** S6 snapshot-table semantics (SURVEY.md §1.3 — the reference archives to
+  * an Iceberg table whose snapshot is the crawl-date commit unit; no
+  * Iceberg runtime ships in this container, so [[SnapshotLog]] reimplements
+  * the metadata layer over the same partitioned parquet). */
+class SnapshotSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-snap").toString
+
+  /** Write rows (id, host_bucket, crawl_epoch) as one partitioned leaf. */
+  private def writeEpoch(root: String, bucket: Int, epoch: Int, ids: Seq[Int]): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ids.toDF("id")
+      .withColumn("host_bucket", lit(bucket))
+      .withColumn("crawl_epoch", lit(epoch))
+      .repartition(1)
+      .write.mode("overwrite")
+      .partitionBy("host_bucket", "crawl_epoch")
+      .parquet(root)
+  }
+
+  private def log(root: String) =
+    new SnapshotLog(root, spark.sparkContext.hadoopConfiguration)
+
+  test("commit per epoch: time travel is cumulative; latest == raw read") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    writeEpoch(root, 0, 1, 11 to 25)
+    val s1 = l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    writeEpoch(root, 1, 2, 26 to 30)
+    val s2 = l.commit("append-epoch-2", Seq("host_bucket=1/crawl_epoch=2"))
+
+    assert(l.snapshotIds() === Seq(s0, s1, s2))
+    // time travel: each snapshot sees exactly the data committed up to it
+    assert(l.read(spark, s0).count() === 10)
+    assert(l.read(spark, s1).count() === 25)
+    assert(l.read(spark, s2).count() === 30)
+    // point-in-time content, not just counts
+    assert(l.read(spark, s1).agg(sum("id")).head.getLong(0) === (1 to 25).sum.toLong)
+    // partition columns survive the manifest read path
+    assert(l.read(spark, s2).filter(col("host_bucket") === 1).count() === 5)
+    // latest snapshot ≡ the raw-path read (same files, just listed via metadata)
+    assert(l.readLatest(spark).count() === spark.read.parquet(root).count())
+    // history() is the metadata table: ascending ids, parent chain, byte sums
+    val h = l.history(spark).orderBy("snapshot_id").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(s0, s1, s2))
+    assert(h.map(_.getLong(1)).toSeq === Seq(-1L, s0, s1))
+    assert(h.map(_.getLong(3)).toSeq.sliding(2).forall(p => p(0) <= p(1)),
+      "n_files must be cumulative under pure appends")
+  }
+
+  test("replayed epoch supersedes its own partitions (crash-resume idempotence)") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // crash-replay: the same epoch rewritten (dynamic overwrite) with a
+    // different row set, then re-committed with the same leaf dirs
+    writeEpoch(root, 0, 0, 1 to 7)
+    val s1 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // the new head must carry ONLY the replayed files — no stale entries
+    assert(l.read(spark, s1).count() === 7)
+    assert(l.readLatest(spark).agg(sum("id")).head.getLong(0) === (1 to 7).sum.toLong)
+  }
+
+  test("rollback appends a new head with the old file set; history is append-only") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    writeEpoch(root, 0, 1, 11 to 20)
+    val s1 = l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    val s2 = l.rollback(s0)
+    assert(s2 > s1, "rollback must append, not rewrite")
+    assert(l.readLatest(spark).count() === 10)
+    // the rolled-past snapshot is still readable (history kept)
+    assert(l.read(spark, s1).count() === 20)
+    assert(l.manifest(s2).op === s"rollback-to-$s0")
+  }
+
+  test("expire keeps the tail, deletes dead manifests + unreferenced data files") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // replay epoch 0 smaller: the first commit's files become dead once
+    // the first snapshot expires
+    writeEpoch(root, 0, 0, 1 to 4)
+    val s1 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // an orphan from a simulated crashed write (never committed)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "host_bucket=9/crawl_epoch=9/part-orphan.parquet")
+    fs.mkdirs(orphan.getParent)
+    val out = fs.create(orphan); out.write(1); out.close()
+
+    val (manifestsDeleted, dataDeleted) = l.expire(keepLast = 1)
+    assert(manifestsDeleted === 1)
+    assert(dataDeleted >= 1, "the orphan (and any dead replayed file) must be reclaimed")
+    assert(!fs.exists(orphan))
+    assert(l.snapshotIds() === Seq(s1))
+    assert(l.readLatest(spark).count() === 4)
+  }
+
+  test("concurrent commits race to distinct ids; both file sets land") {
+    val root = tmp()
+    writeEpoch(root, 0, 0, 1 to 10)
+    writeEpoch(root, 1, 1, 11 to 20)
+    val l = log(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0")))
+    val fb = Future(l.commit("append-epoch-1", Seq("host_bucket=1/crawl_epoch=1")))
+    val (a, b) = (Await.result(fa, 30.seconds), Await.result(fb, 30.seconds))
+    assert(a !== b, "the rename-if-absent step must serialize the ids")
+    assert(Set(a, b) === Set(0L, 1L))
+    // the later commit carried the earlier one's files: union visible
+    assert(l.readLatest(spark).count() === 20)
+  }
+
+  test("uncommitted data files are invisible to snapshot readers") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // a crashed epoch: data written, commit never reached
+    writeEpoch(root, 0, 1, 11 to 30)
+    assert(l.currentId() === Some(s0))
+    assert(l.readLatest(spark).count() === 10,
+      "snapshot readers must not see uncommitted files (raw readers do: " +
+        spark.read.parquet(root).count())
+  }
+
+  test("SnapshotPayloadSink: one snapshot per crawl epoch; latest ≡ raw payload") {
+    val wd = tmp()
+    val cfg = CrawlConfig(workDir = wd, totalUrls = 900, epochs = 3,
+      numHosts = 12, buckets = 4, budgetPerHost = 40, seed = 7L)
+    CrawlLoop.run(spark, cfg, store = new SnapshotPayloadSink(cfg.buckets))
+    val l = new SnapshotPayloadSink(cfg.buckets).log(wd, spark)
+    val ids = l.snapshotIds()
+    assert(ids.size === cfg.epochs, "exactly one snapshot per epoch")
+    val raw = spark.read.parquet(s"$wd/payload")
+    assert(l.readLatest(spark).count() === raw.count())
+    // per-snapshot reads are cumulative in epoch order
+    val counts = ids.map(l.read(spark, _).count())
+    assert(counts.sliding(2).forall(p => p(0) <= p(1)))
+    assert(counts.last === raw.count())
+    // snapshot k sees exactly epochs 0..k (the crawl-date commit unit)
+    ids.zipWithIndex.foreach { case (id, k) =>
+      val maxEpoch = l.read(spark, id).agg(max("crawl_epoch")).head.getInt(0)
+      assert(maxEpoch === k)
+    }
+  }
+}
