@@ -263,6 +263,24 @@ object Bench {
     } yield s"sweep${i + 1}_eff_${a}_$b" ->
       sweeps(i)(b) / ((b.toDouble / a) * sweeps(i)(a))
 
+    // recorded multi-JVM (local-cluster) scaling pair, if the repo carries
+    // one (tools/multijvm_pair.sh writes it; BASELINE.md documents the
+    // protocol). These are NOT measured by this run — they are the
+    // repo's recorded true-executor N→4N evidence, included so the bench
+    // artifact is self-contained; the *_utc key states when it was taken.
+    val multijvm: Seq[(String, String)] = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_MULTIJVM_FILE", "tools/multijvm_recorded.json"))
+      if (!java.nio.file.Files.isReadable(p)) Nil
+      else {
+        val txt = Files.readString(p)
+        // flat {"key": value} object, values numeric or quoted strings
+        """"([A-Za-z0-9_]+)"\s*:\s*("[^"]*"|[-0-9.Ee+]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => s"multijvm_${m.group(1)}" -> m.group(2)).toSeq
+      }
+    }
+
     // contention markers, measured right after the crawl levels so they
     // describe (approximately) the same host window
     val spinThreads = math.min(8, math.max(2, cpus / 4))
@@ -310,7 +328,12 @@ object Bench {
         s"membw_gbps_sweep${i + 1}" -> fmt(v, 1) } ++
       Seq("calm_window_found" ->
         (if (sweepMarks.exists(_ >= calmGbps)) "1" else "0")) ++
-      headlineIdx.map(i => "membw_gbps_headline_sweep" -> fmt(sweepMarks(i), 1)).toSeq
+      headlineIdx.map(i => "membw_gbps_headline_sweep" -> fmt(sweepMarks(i), 1)).toSeq ++
+      // recorded true-executor pair: only the two headline ratios + the
+      // timestamp in the compact line (full set in the sidecar)
+      multijvm.filter { case (k, _) =>
+        k.endsWith("eff_raw") || k.endsWith("eff_corrected") ||
+          k.endsWith("recorded_utc") }
     val qs = compactEntries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
@@ -329,6 +352,7 @@ object Bench {
       sweepMarks.zipWithIndex.map { case (v, i) =>
         s"membw_gbps_1t_sweep${i + 1}" -> fmt(v, 4) } ++
       headlineIdx.map(i => "headline_sweep" -> i.toString).toSeq ++
+      multijvm ++
       Seq(
         "calm_gbps_threshold" -> fmt(calmGbps, 1),
         "spin_giters_1t" -> fmt(spin1 / 1e9, 4),

@@ -86,7 +86,8 @@ object SparkEntry {
     "c17_caption_extraction" -> (CrawlQueries.c17CaptionExtraction _),
     "c18_discovery_bounds" -> (CrawlQueries.c18DiscoveryBounds _),
     "c19_deep_validation" -> (CrawlQueries.c19DeepValidation _),
-    "c20_snapshot_history" -> (CrawlQueries.c20SnapshotHistory _)
+    "c20_snapshot_history" -> (CrawlQueries.c20SnapshotHistory _),
+    "c21_snapshot_changes" -> (CrawlQueries.c21SnapshotChanges _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

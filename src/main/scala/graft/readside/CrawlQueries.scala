@@ -385,4 +385,24 @@ object CrawlQueries {
     log.history(s).join(counts, "snapshot_id")
       .orderBy(col("snapshot_id"))
   }
+
+  /** c21 — incremental append scan between adjacent snapshots (the
+    * Iceberg start/end-snapshot-id read): per snapshot step, the
+    * changelog row count and distinct epoch set. An incremental consumer
+    * (e.g. an indexer catching up) reads exactly one epoch per step —
+    * `n_epochs_in_changelog` must be 1 and the cumulative sum of
+    * `n_rows_appended` must reproduce c20's time-travel counts. */
+  def c21SnapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    val wd = crawlDir(s)
+    val log = new graft.sources.SnapshotPayloadSink(cfgBase.buckets).log(wd, s)
+    import s.implicits._
+    val ids = log.snapshotIds()
+    ids.sliding(2).collect { case Seq(a, b) =>
+      val delta = log.changes(s, a, b)
+      (a, b, delta.count(),
+        delta.select(col("crawl_epoch")).distinct().count())
+    }.toSeq
+      .toDF("from_snapshot", "to_snapshot", "n_rows_appended", "n_epochs_in_changelog")
+      .orderBy(col("from_snapshot"))
+  }
 }

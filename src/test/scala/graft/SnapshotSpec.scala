@@ -141,6 +141,33 @@ class SnapshotSpec extends SparkSpec {
         spark.read.parquet(root).count())
   }
 
+  test("changes(from, to) is the incremental append scan: read(from) ∪ changes ≡ read(to)") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    writeEpoch(root, 0, 1, 11 to 25)
+    val s1 = l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    writeEpoch(root, 1, 2, 26 to 30)
+    val s2 = l.commit("append-epoch-2", Seq("host_bucket=1/crawl_epoch=2"))
+
+    // changelog between adjacent snapshots is exactly that epoch's rows
+    assert(l.changes(spark, s0, s1).agg(sum("id")).head.getLong(0)
+      === (11 to 25).sum.toLong)
+    // spanning two commits: both epochs' appends, nothing from before
+    val span = l.changes(spark, s0, s2)
+    assert(span.count() === 20)
+    assert(span.agg(min("id")).head.getInt(0) === 11)
+    // incremental-consumer identity: read(from) ∪ changes(from,to) ≡ read(to)
+    val rebuilt = l.read(spark, s0).unionByName(span)
+    assert(rebuilt.count() === l.read(spark, s2).count())
+    assert(rebuilt.agg(sum("id")).head.getLong(0)
+      === l.read(spark, s2).agg(sum("id")).head.getLong(0))
+    // degenerate: no new commits -> empty changelog with the table schema
+    assert(l.changes(spark, s2, s2).count() === 0)
+    assert(l.changes(spark, s2, s2).columns === l.read(spark, s2).columns)
+  }
+
   test("SnapshotPayloadSink: one snapshot per crawl epoch; latest ≡ raw payload") {
     val wd = tmp()
     val cfg = CrawlConfig(workDir = wd, totalUrls = 900, epochs = 3,
