@@ -87,6 +87,19 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
           && !s.getPath.getName.startsWith("."))
         .map(s => DataFile(s"$leaf/${s.getPath.getName}", s.getLen))
     }
+    commitFiles(op, added, replacedPartitions,
+      dropCarriedUnder = addedLeafDirs)
+  }
+
+  /** Commit with an EXPLICIT added-file list (the rewrite path: new and
+    * superseded files coexist in the same leaf dirs — old files must stay
+    * in place for time travel — so dir re-listing cannot express which
+    * files the new snapshot references). Carried entries under
+    * `replacedPartitions` ∪ `dropCarriedUnder` prefixes are dropped. */
+  def commitFiles(op: String, added: Seq[DataFile],
+      replacedPartitions: Seq[String],
+      dropCarriedUnder: Seq[String] = Seq.empty): Long = {
+    val f = fs
     var attempt = 0
     while (true) {
       val parent = currentId()
@@ -94,7 +107,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
         .filterNot(df => replacedPartitions.exists(p => df.path.startsWith(p + "/"))
           // a replayed leaf dir replaces itself: drop stale entries for
           // the added leaves too (their files were rewritten)
-          || addedLeafDirs.exists(p => df.path.startsWith(p + "/")))
+          || dropCarriedUnder.exists(p => df.path.startsWith(p + "/")))
       val id = parent.getOrElse(-1L) + 1
       val body = new StringBuilder()
         .append(s"id=$id parent=${parent.getOrElse(-1L)} op=$op\n")
@@ -141,6 +154,17 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * check below rather than silently double-counted. */
   def changes(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"changes($fromId, $toId): fromId must be <= toId")
+    // incremental reads are defined over APPEND chains only — a rewrite or
+    // rollback in the range re-shuffles file identity without changing
+    // rows, so "added files" stops meaning "appended rows". Iceberg's
+    // incremental scan throws on non-append snapshots; so do we.
+    snapshotIds().filter(id => id > fromId && id <= toId).foreach { id =>
+      val op = manifest(id).op
+      if (!op.startsWith("append"))
+        throw new IllegalStateException(
+          s"changes($fromId, $toId): snapshot $id is '$op', not an append — " +
+            "incremental reads require an append-only range")
+    }
     val before = manifest(fromId).files.map(_.path).toSet
     val added = manifest(toId).files.filterNot(df => before.contains(df.path))
     if (added.isEmpty) read(spark, toId).limit(0)
@@ -181,6 +205,68 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       if (attempt > 64) throw new IllegalStateException("rollback id race")
     }
     -1L
+  }
+
+  /** Small-file compaction as a snapshot commit (Iceberg's
+    * `rewrite_data_files`): per leaf partition dir, if the CURRENT
+    * snapshot references more than one file below `smallBytes` there,
+    * rewrite that partition's full file set as `ceil(total/targetBytes)`
+    * files and commit a new snapshot in which the rewritten partitions'
+    * old entries are replaced. Time travel is preserved — prior
+    * snapshots still reference the old files until `expire` reclaims
+    * them (Iceberg's compaction story exactly).
+    *
+    * Scale shape: the rewrite is one distributed job per compaction
+    * pass over ONLY the affected partitions' rows (partition-pruned
+    * manifest read, no full-table scan); the driver handles file NAMES
+    * (O(files), the same budget every commit already has), never rows.
+    * Returns (partitionsRewritten, filesBefore, filesAfter). */
+  def rewriteSmallFiles(spark: SparkSession, smallBytes: Long,
+      targetBytes: Long): (Int, Int, Int) = {
+    val head = currentId().getOrElse(
+      throw new IllegalStateException(s"no snapshots under $root"))
+    val cur = manifest(head)
+    val byLeaf = cur.files.groupBy(df =>
+      df.path.substring(0, df.path.lastIndexOf('/')))
+    val victims = byLeaf.filter { case (_, fs) =>
+      fs.count(_.bytes < smallBytes) > 1 }
+    if (victims.isEmpty) return (0, 0, 0)
+    val f = fs
+    val rewritten = victims.toSeq.flatMap { case (leaf, files) =>
+      val total = math.max(1L, files.map(_.bytes).sum)
+      val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      // rewrite into a staging dir, then move files in: readers of the
+      // CURRENT snapshot are unaffected until the commit lands (they
+      // read by explicit file list, and old files stay put)
+      val staged = new Path(root, s"$leaf/.rewrite-${java.util.UUID.randomUUID()}")
+      spark.read.option("basePath", root)
+        .parquet(files.map(df => s"$root/${df.path}"): _*)
+        // partition columns come back from basePath; drop them — the
+        // rewritten files live under the same leaf dir, which re-derives
+        // them on read (writing them into the file would double them)
+        .drop(leaf.split('/').map(_.takeWhile(_ != '=')).toIndexedSeq: _*)
+        .coalesce(n)
+        .write.mode("overwrite").parquet(staged.toString)
+      val moved = f.listStatus(staged).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .zipWithIndex.map { case (s, i) =>
+          val name = s"compact-${java.util.UUID.randomUUID()}-$i.parquet"
+          val tgt = new Path(new Path(root, leaf), name)
+          if (!f.rename(s.getPath, tgt))
+            throw new IllegalStateException(s"rewrite rename failed: $tgt")
+          DataFile(s"$leaf/$name", s.getLen)
+        }
+      f.delete(staged, true)
+      moved
+    }
+    // one commit whose added set is EXACTLY the compact-* files (an
+    // explicit list — old small files share the same dirs and must stay
+    // on disk for time travel, so dir re-listing would double-reference)
+    commitFiles("rewrite-small-files", rewritten, victims.keys.toSeq)
+    // old small files are NOT deleted here (prior snapshots reference
+    // them); expire() reclaims them once those snapshots age out
+    (victims.size, victims.values.map(_.size).sum, rewritten.size)
   }
 
   /** Expire all but the last `keepLast` snapshots and delete data files no

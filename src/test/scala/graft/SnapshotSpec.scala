@@ -168,6 +168,51 @@ class SnapshotSpec extends SparkSpec {
     assert(l.changes(spark, s2, s2).columns === l.read(spark, s2).columns)
   }
 
+  test("rewriteSmallFiles compacts per partition under a new snapshot; time travel + expire intact") {
+    val root = tmp()
+    val l = log(root)
+    import spark.implicits._
+    // 4 tiny files in bucket 0 (written one by one → 4 separate commits'
+    // worth of small files in ONE partition), 1 file in bucket 1
+    (1 to 4).foreach { k =>
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      ((k * 10) until (k * 10 + 5)).toDF("id")
+        .withColumn("host_bucket", lit(0)).withColumn("crawl_epoch", lit(k))
+        .repartition(2) // 2 files per write → 8 small files total
+        .write.mode("overwrite").partitionBy("host_bucket", "crawl_epoch")
+        .parquet(root)
+      l.commit(s"append-epoch-$k", Seq(s"host_bucket=0/crawl_epoch=$k"))
+    }
+    val before = l.manifest(l.currentId().get)
+    val filesBefore = before.files.size
+    val sumBefore = l.readLatest(spark).agg(sum("id")).head.getLong(0)
+    val preRewriteHead = before.id
+
+    val (parts, nOld, nNew) = l.rewriteSmallFiles(spark,
+      smallBytes = 1 << 20, targetBytes = 1 << 20)
+    assert(parts === 4, "each epoch partition had 2 small files")
+    assert(nNew < nOld, s"compaction must shrink the file count ($nOld -> $nNew)")
+    // same rows, fewer files, new snapshot
+    assert(l.manifest(l.currentId().get).op === "rewrite-small-files")
+    assert(l.readLatest(spark).agg(sum("id")).head.getLong(0) === sumBefore)
+    assert(l.manifest(l.currentId().get).files.size
+      === filesBefore - nOld + nNew)
+    // partition columns still resolve through the compacted files
+    assert(l.readLatest(spark).filter(col("crawl_epoch") === 2).count() === 5)
+    // time travel: the PRE-rewrite snapshot still reads the old files
+    assert(l.read(spark, preRewriteHead).agg(sum("id")).head.getLong(0) === sumBefore)
+    // incremental reads refuse to span the rewrite (append-only contract)
+    intercept[IllegalStateException] {
+      l.changes(spark, preRewriteHead - 1, l.currentId().get)
+    }
+    // expire reclaims the superseded small files; the compacted head reads
+    val (_, dataDeleted) = l.expire(keepLast = 1)
+    assert(dataDeleted >= nOld, "expire must reclaim the rewritten-away files")
+    assert(l.readLatest(spark).agg(sum("id")).head.getLong(0) === sumBefore)
+    // idempotence: nothing left to compact
+    assert(l.rewriteSmallFiles(spark, 1 << 20, 1 << 20) === ((0, 0, 0)))
+  }
+
   test("SnapshotPayloadSink: one snapshot per crawl epoch; latest ≡ raw payload") {
     val wd = tmp()
     val cfg = CrawlConfig(workDir = wd, totalUrls = 900, epochs = 3,
