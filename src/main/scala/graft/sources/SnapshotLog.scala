@@ -17,13 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * immutable data files — minus the catalog.
   *
   * Commit protocol (optimistic, like Iceberg's without a catalog lock):
-  * the manifest is written to a temp name and renamed to
-  * `snap-<id>` where id = current max + 1; a loser of a concurrent race
-  * finds its target name taken (rename fails / exists) and retries with
-  * the next id on top of the re-read head. Readers only ever see fully
-  * renamed manifests, so a crash mid-commit leaves the table at the
-  * parent snapshot plus orphan data files — which `expire` reclaims,
-  * exactly Iceberg's orphan-file story.
+  * the manifest is written to a temp name and ATOMICALLY CLAIMED as
+  * `snap-<id>` where id = current max + 1 — link(2) on a local FS
+  * (fails EEXIST; plain rename-if-absent is a TOCTOU there), atomic
+  * rename-no-overwrite on HDFS-semantics filesystems. A loser of a
+  * concurrent race retries with the next id on top of the re-read head.
+  * Readers only ever see fully claimed manifests, so a crash mid-commit
+  * leaves the table at the parent snapshot plus orphan data files —
+  * which `expire` reclaims, exactly Iceberg's orphan-file story.
   *
   * Scale: a commit lists ONLY the leaf partition directories it touched
   * (O(files-per-epoch), the same flat-cost discipline as the loop's
@@ -43,6 +44,30 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
 
   private def fs: FileSystem = new Path(root).getFileSystem(conf)
   private def metaDir = new Path(root, "_snapshots")
+
+  /** Atomically claim `target` with `tmp`'s content — the
+    * winner-takes-the-id step. `exists(target) && rename(tmp, target)` is
+    * a TOCTOU on a local FS (POSIX rename(2) silently OVERWRITES, so two
+    * racers can both "succeed" and one manifest is lost — observed as a
+    * parallel-suite flake); the atomic claim primitive there is link(2),
+    * which fails EEXIST. On non-local Hadoop filesystems rename-without-
+    * overwrite is an atomic namespace op server-side (HDFS semantics), so
+    * the rename path is correct there. */
+  private def claim(f: FileSystem, tmp: Path, target: Path): Boolean = {
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else !f.exists(target) && f.rename(tmp, target)
+  }
 
   /** All committed snapshot ids, ascending. */
   def snapshotIds(): Seq[Long] = {
@@ -117,8 +142,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       val out = f.create(tmp, false)
       try out.write(body.toString.getBytes("UTF-8")) finally out.close()
       val target = new Path(metaDir, f"snap-$id%09d")
-      // rename-if-absent = the atomic winner-takes-the-id step
-      if (!f.exists(target) && f.rename(tmp, target)) return id
+      if (claim(f, tmp, target)) return id
       f.delete(tmp, false)
       attempt += 1
       if (attempt > 64)
@@ -199,7 +223,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       val out = f.create(tmp, false)
       try out.write(body.toString.getBytes("UTF-8")) finally out.close()
       val tgt = new Path(metaDir, f"snap-$id%09d")
-      if (!f.exists(tgt) && f.rename(tmp, tgt)) return id
+      if (claim(f, tmp, tgt)) return id
       f.delete(tmp, false)
       attempt += 1
       if (attempt > 64) throw new IllegalStateException("rollback id race")

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.crawl.{CrawlConfig, CrawlLoop}
-import graft.sources.{SnapshotLog, SnapshotPayloadSink}
+import graft.sources.{SnapshotLog, SnapshotPayloadSink, SnapshotTail}
 
 /** S6 snapshot-table semantics (SURVEY.md §1.3 — the reference archives to
   * an Iceberg table whose snapshot is the crawl-date commit unit; no
@@ -122,10 +122,37 @@ class SnapshotSpec extends SparkSpec {
     val fa = Future(l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0")))
     val fb = Future(l.commit("append-epoch-1", Seq("host_bucket=1/crawl_epoch=1")))
     val (a, b) = (Await.result(fa, 30.seconds), Await.result(fb, 30.seconds))
-    assert(a !== b, "the rename-if-absent step must serialize the ids")
+    assert(a !== b, "the atomic claim step must serialize the ids")
     assert(Set(a, b) === Set(0L, 1L))
     // the later commit carried the earlier one's files: union visible
     assert(l.readLatest(spark).count() === 20)
+  }
+
+  test("8-way commit stress: distinct ids, no lost manifests, all file sets land") {
+    // regression for the TOCTOU the plain exists+rename claim had on a
+    // local FS (POSIX rename silently overwrites: two racers could both
+    // "win" one id and a manifest vanished — a parallel-suite flake).
+    // link(2)-based claims must hand out 8 DISTINCT ids whose head
+    // carries every committer's files.
+    val root = tmp()
+    (0 until 8).foreach(b => writeEpoch(root, b, b, (b * 100 + 1) to (b * 100 + 5)))
+    val l = log(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fs = (0 until 8).map { b =>
+      Future { gate.await(); l.commit(s"append-epoch-$b", Seq(s"host_bucket=$b/crawl_epoch=$b")) }
+    }
+    gate.countDown()
+    val ids = fs.map(Await.result(_, 60.seconds))
+    assert(ids.toSet.size === 8, s"ids must be distinct, got $ids")
+    assert(ids.toSet === (0L to 7L).toSet)
+    // every manifest file readable (no torn/overwritten losers)
+    (0L to 7L).foreach(id => l.manifest(id))
+    // the head carries all 8 committers' partitions: nothing lost
+    assert(l.readLatest(spark).count() === 40)
+    assert(l.readLatest(spark).select("host_bucket").distinct().count() === 8)
   }
 
   test("uncommitted data files are invisible to snapshot readers") {
@@ -166,6 +193,64 @@ class SnapshotSpec extends SparkSpec {
     // degenerate: no new commits -> empty changelog with the table schema
     assert(l.changes(spark, s2, s2).count() === 0)
     assert(l.changes(spark, s2, s2).columns === l.read(spark, s2).columns)
+  }
+
+  test("SnapshotTail: bootstrap + incremental polls sum to the table; crash before ack replays; rewrite surfaces as re-base") {
+    val root = tmp()
+    val l = log(root)
+    val tail = new SnapshotTail(l, s"$root/_consumer", spark.sparkContext.hadoopConfiguration)
+    // empty log: nothing to poll
+    assert(tail.poll(spark).isEmpty)
+
+    writeEpoch(root, 0, 0, 1 to 10)
+    l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // bootstrap: full table at head
+    val (boot, bootId) = tail.poll(spark).get
+    assert(boot.count() === 10)
+    // crash BEFORE ack: the same delta replays
+    assert(tail.poll(spark).get._1.count() === 10)
+    tail.ack(bootId)
+    assert(tail.poll(spark).isEmpty, "caught up after ack")
+
+    // two appends land; one poll delivers BOTH epochs' rows, nothing old
+    writeEpoch(root, 0, 1, 11 to 25)
+    l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    writeEpoch(root, 1, 2, 26 to 30)
+    val s2 = l.commit("append-epoch-2", Seq("host_bucket=1/crawl_epoch=2"))
+    val (delta, deltaId) = tail.poll(spark).get
+    assert(deltaId === s2)
+    assert(delta.count() === 20)
+    assert(delta.agg(min("id")).head.getInt(0) === 11)
+    tail.ack(deltaId)
+
+    // consumer identity: bootstrap + deltas ≡ the table
+    assert(10 + 20 === l.readLatest(spark).count())
+
+    // a rewrite in the un-consumed range surfaces loudly; consumer
+    // re-bases (full read + ack head), then resumes incremental.
+    // (two files in the epoch-3 leaf so the rewrite has work to do)
+    {
+      import spark.implicits._
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      (31 to 34).toDF("id")
+        .withColumn("host_bucket", lit(0)).withColumn("crawl_epoch", lit(3))
+        .repartition(2)
+        .write.mode("overwrite").partitionBy("host_bucket", "crawl_epoch")
+        .parquet(root)
+    }
+    l.commit("append-epoch-3", Seq("host_bucket=0/crawl_epoch=3"))
+    val rw = l.rewriteSmallFiles(spark, smallBytes = 1 << 20, targetBytes = 1 << 20)
+    assert(rw._1 >= 1, "rewrite must have compacted the 2-file epoch-3 leaf")
+    intercept[IllegalStateException] { tail.poll(spark).map(_._1.count()) }
+    val head = l.currentId().get
+    assert(l.read(spark, head).count() === 34)
+    tail.ack(head) // re-base
+    assert(tail.poll(spark).isEmpty)
+    // incremental resumes cleanly past the rewrite
+    writeEpoch(root, 1, 4, 35 to 40)
+    val s5 = l.commit("append-epoch-4", Seq("host_bucket=1/crawl_epoch=4"))
+    val (d2, id2) = tail.poll(spark).get
+    assert(id2 === s5 && d2.count() === 6)
   }
 
   test("rewriteSmallFiles compacts per partition under a new snapshot; time travel + expire intact") {
