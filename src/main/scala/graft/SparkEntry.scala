@@ -87,7 +87,8 @@ object SparkEntry {
     "c18_discovery_bounds" -> (CrawlQueries.c18DiscoveryBounds _),
     "c19_deep_validation" -> (CrawlQueries.c19DeepValidation _),
     "c20_snapshot_history" -> (CrawlQueries.c20SnapshotHistory _),
-    "c21_snapshot_changes" -> (CrawlQueries.c21SnapshotChanges _)
+    "c21_snapshot_changes" -> (CrawlQueries.c21SnapshotChanges _),
+    "c22_snapshot_deletes" -> (CrawlQueries.c22SnapshotDeletes _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -405,4 +405,60 @@ object CrawlQueries {
       .toDF("from_snapshot", "to_snapshot", "n_rows_appended", "n_epochs_in_changelog")
       .orderBy(col("from_snapshot"))
   }
+
+  /** c22 — row-level delete lifecycle on the snapshot table (Iceberg v2
+    * equality deletes, merge-on-read): DELETE FROM by key → the head
+    * hides exactly those rows while time travel keeps them; a re-insert
+    * of a deleted key after the delete survives (sequence-number rule);
+    * `materializeDeletes` restores a pure-scan head with identical rows;
+    * and a SnapshotTail consumer re-bases across the non-append commits
+    * then resumes incremental. One deterministic phase row per stage —
+    * built on its OWN tiny table (the shared crawl fixture's snapshot
+    * history must stay append-only for c20/c21). */
+  def c22SnapshotDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-snap-deletes").toString
+    val log = new graft.sources.SnapshotLog(root, s.sparkContext.hadoopConfiguration)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def write(bucket: Int, epoch: Int, ids: Seq[Int]): Unit =
+      ids.toDF("id").withColumn("host_bucket", lit(bucket))
+        .withColumn("crawl_epoch", lit(epoch)).repartition(1)
+        .write.mode("overwrite").partitionBy("host_bucket", "crawl_epoch")
+        .parquet(root)
+    def phase(name: String): (String, Long, Long, Long) = {
+      val head = log.readLatest(s)
+      val m = log.manifest(log.currentId().get)
+      (name, head.count(), head.agg(sum(col("id"))).head.getLong(0),
+        m.files.count(_.isDelete).toLong)
+    }
+    write(0, 0, 1 to 10)
+    log.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    write(1, 1, 11 to 20)
+    log.commit("append-epoch-1", Seq("host_bucket=1/crawl_epoch=1"))
+    val tail = new graft.sources.SnapshotTail(
+      log, s"$root/_consumer", s.sparkContext.hadoopConfiguration)
+    val boot = tail.poll(s).get
+    tail.ack(boot._2)
+    val p0 = phase("0_appended")
+    log.commitDeletes(s, Seq(2, 13, 19).toDF("id"))
+    val p1 = phase("1_after_delete")
+    write(0, 2, Seq(2, 21))
+    log.commit("append-epoch-2", Seq("host_bucket=0/crawl_epoch=2"))
+    val p2 = phase("2_after_reinsert")
+    log.materializeDeletes(s)
+    val p3 = phase("3_materialized")
+    // the delete + materialize are non-append: the tail consumer re-bases
+    val rebased = try { tail.poll(s).foreach(_._1.count()); 0L }
+    catch { case _: IllegalStateException =>
+      tail.ack(log.currentId().get); 1L }
+    write(1, 3, Seq(22, 23))
+    log.commit("append-epoch-3", Seq("host_bucket=1/crawl_epoch=3"))
+    val delta = tail.poll(s).get
+    tail.ack(delta._2)
+    val p4 = ("4_tail_resumed", delta._1.count(), rebased,
+      boot._1.count())
+    Seq(p0, p1, p2, p3, p4)
+      .toDF("phase", "n_rows", "sum_or_flag", "n_delete_files")
+      .orderBy(col("phase"))
+  }
 }

@@ -31,10 +31,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * touched-bucket read-back — never a full-table listing); `expire` is
   * the one O(table) maintenance operation, as in Iceberg.
   *
+  * Row-level deletes (Iceberg v2 equality deletes, merge-on-read):
+  * [[commitDeletes]] lands a parquet file of KEY rows under `_deletes/`
+  * and commits it as a delete entry; [[read]] anti-joins data against
+  * applicable delete keys at scan time. Applicability follows Iceberg's
+  * sequence-number rule — every file carries the snapshot id that added
+  * it (`seq`), and a delete applies only to data files with LOWER seq —
+  * so a key re-inserted after the delete survives. The delete key set
+  * stays a distributed parquet frame end-to-end (broadcast by AQE when
+  * small, shuffled when not; never driver-collected).
+  * [[materializeDeletes]] is the compaction that rewrites affected files
+  * with deletes applied and drops the delete entries, after which the
+  * head read is a pure scan again.
+  *
   * Manifest format (one text file per snapshot, hadoop-FS portable):
   * {{{
   *   id=<id> parent=<parentId> op=<operation>
-  *   <bytes>\t<path relative to root>
+  *   <bytes>\t<path relative to root>\t<seq>          (data file)
+  *   D\t<bytes>\t<path relative to root>\t<seq>       (equality-delete file)
   *   ...
   * }}}
   */
@@ -89,8 +103,16 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     val Header = "id=(\\d+) parent=(-?\\d+) op=(.+)".r
     val Header(i, par, op) = lines.head: @unchecked
     val files = lines.tail.map { l =>
-      val Array(bytes, rel) = l.split('\t')
-      DataFile(rel, bytes.toLong)
+      val parts = l.split('\t')
+      if (parts(0) == "D")
+        DataFile(parts(2), parts(1).toLong, parts(3).toLong, isDelete = true)
+      else if (parts.length >= 3)
+        DataFile(parts(1), parts(0).toLong, parts(2).toLong)
+      else
+        // legacy 2-field line (pre-seq manifests): treat the file as added
+        // at this manifest — correct for added entries, conservative for
+        // carried ones (no legacy manifest ever coexisted with deletes)
+        DataFile(parts(1), parts(0).toLong, i.toLong)
     }.toSeq
     Manifest(i.toLong, par.toLong, op, files)
   }
@@ -120,10 +142,18 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * superseded files coexist in the same leaf dirs — old files must stay
     * in place for time travel — so dir re-listing cannot express which
     * files the new snapshot references). Carried entries under
-    * `replacedPartitions` ∪ `dropCarriedUnder` prefixes are dropped. */
+    * `replacedPartitions` ∪ `dropCarriedUnder` prefixes, in
+    * `dropExactPaths`, or (with `dropAllDeletes`) carrying delete keys are
+    * dropped. Added entries with `seq < 0` are stamped with the new
+    * snapshot id (Iceberg's data sequence number); a non-negative seq is
+    * preserved — the rewrite paths use this so equality deletes keep
+    * applying (or not) to rewritten content exactly as they did to its
+    * sources. */
   def commitFiles(op: String, added: Seq[DataFile],
       replacedPartitions: Seq[String],
-      dropCarriedUnder: Seq[String] = Seq.empty): Long = {
+      dropCarriedUnder: Seq[String] = Seq.empty,
+      dropExactPaths: Set[String] = Set.empty,
+      dropAllDeletes: Boolean = false): Long = {
     val f = fs
     var attempt = 0
     while (true) {
@@ -132,15 +162,16 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
         .filterNot(df => replacedPartitions.exists(p => df.path.startsWith(p + "/"))
           // a replayed leaf dir replaces itself: drop stale entries for
           // the added leaves too (their files were rewritten)
-          || dropCarriedUnder.exists(p => df.path.startsWith(p + "/")))
+          || dropCarriedUnder.exists(p => df.path.startsWith(p + "/"))
+          || dropExactPaths.contains(df.path)
+          || (dropAllDeletes && df.isDelete))
       val id = parent.getOrElse(-1L) + 1
-      val body = new StringBuilder()
-        .append(s"id=$id parent=${parent.getOrElse(-1L)} op=$op\n")
-      (carried ++ added).foreach(df => body.append(s"${df.bytes}\t${df.path}\n"))
+      val stamped = added.map(df => if (df.seq < 0) df.copy(seq = id) else df)
+      val body = render(id, parent.getOrElse(-1L), op, carried ++ stamped)
       f.mkdirs(metaDir)
       val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(body.getBytes("UTF-8")) finally out.close()
       val target = new Path(metaDir, f"snap-$id%09d")
       if (claim(f, tmp, target)) return id
       f.delete(tmp, false)
@@ -152,15 +183,83 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     -1L // unreachable
   }
 
+  private def render(id: Long, parent: Long, op: String,
+      files: Seq[DataFile]): String = {
+    val body = new StringBuilder().append(s"id=$id parent=$parent op=$op\n")
+    files.foreach { df =>
+      if (df.isDelete) body.append(s"D\t${df.bytes}\t${df.path}\t${df.seq}\n")
+      else body.append(s"${df.bytes}\t${df.path}\t${df.seq}\n")
+    }
+    body.toString
+  }
+
+  /** Row-level delete (Iceberg v2 equality delete, merge-on-read): land
+    * `keys` — a frame whose COLUMNS are the equality columns, e.g. a
+    * single `image_id` column, or (`host_bucket`,`url_hash`) — as parquet
+    * under `_deletes/` and commit it as a delete entry. Rows in data
+    * files committed BEFORE this snapshot that match any key on all key
+    * columns disappear from subsequent reads; data appended after
+    * (including a re-insert of a deleted key) is untouched. O(keys)
+    * write + O(1) commit — the data layer is not touched until
+    * [[materializeDeletes]] or the read-side anti-join. */
+  def commitDeletes(spark: SparkSession, keys: DataFrame): Long = {
+    require(keys.columns.nonEmpty, "delete key frame needs at least one column")
+    val rel = s"_deletes/eq-${java.util.UUID.randomUUID()}"
+    keys.write.mode("error").parquet(new Path(root, rel).toString)
+    val f = fs
+    val entries = f.listStatus(new Path(root, rel)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => DataFile(s"$rel/${s.getPath.getName}", s.getLen, isDelete = true))
+    commitFiles("delete", entries, Seq.empty)
+  }
+
   /** Point-in-time read of exactly the snapshot's file set; partition
-    * columns come back via basePath, as in any partitioned parquet read. */
+    * columns come back via basePath, as in any partitioned parquet read.
+    * Snapshots carrying equality-delete entries are merged-on-read:
+    * data anti-joined against the applicable delete keys (per the
+    * sequence-number rule — see [[applyDeletes]]); with no deletes the
+    * plan is the pure file scan it always was. */
   def read(spark: SparkSession, id: Long): DataFrame = {
-    val files = manifest(id).files
-    if (files.isEmpty)
+    val (dels, datas) = manifest(id).files.partition(_.isDelete)
+    if (datas.isEmpty)
       // degenerate: an empty snapshot of a table that has a schema on disk
       spark.read.parquet(root).limit(0)
-    else spark.read.option("basePath", root)
-      .parquet(files.map(df => s"$root/${df.path}"): _*)
+    else if (dels.isEmpty)
+      spark.read.option("basePath", root)
+        .parquet(datas.map(df => s"$root/${df.path}"): _*)
+    else applyDeletes(spark, datas, dels)
+  }
+
+  /** Merge-on-read: scan `datas` minus rows matching the APPLICABLE
+    * equality-delete keys. A delete applies to a data file iff
+    * `delete.seq > dataFile.seq` (Iceberg's sequence-number rule), so
+    * data files are grouped by which deletes apply — one group per
+    * interval between delete seqs — each group anti-joined against
+    * exactly its applicable key union, and the groups unioned back. The
+    * group count is O(delete commits at head), a small maintenance
+    * number; the keys stay distributed (AQE broadcasts small sets). */
+  private def applyDeletes(spark: SparkSession, datas: Seq[DataFile],
+      dels: Seq[DataFile]): DataFrame = {
+    val delSeqs = dels.map(_.seq).distinct.sorted
+    val groups = datas.groupBy(df => delSeqs.count(_ <= df.seq)).toSeq.sortBy(_._1)
+    groups.map { case (nInapplicable, files) =>
+      var frame = spark.read.option("basePath", root)
+        .parquet(files.map(df => s"$root/${df.path}"): _*)
+      val applicable = delSeqs.drop(nInapplicable).toSet
+      if (applicable.nonEmpty) {
+        // one key frame per delete dir (a dir = one commitDeletes = one
+        // key schema); same-schema dirs union into a single anti-join
+        val keyFrames = dels.filter(df => applicable.contains(df.seq))
+          .groupBy(df => df.path.substring(0, df.path.lastIndexOf('/')))
+          .values.map(grp =>
+            spark.read.parquet(grp.map(df => s"$root/${df.path}"): _*))
+        keyFrames.groupBy(_.columns.toSeq).foreach { case (cols, frames) =>
+          frame = frame.join(frames.reduce(_ union _), cols, "left_anti")
+        }
+      }
+      frame
+    }.reduce(_ unionByName _)
   }
 
   def readLatest(spark: SparkSession): DataFrame =
@@ -196,13 +295,18 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       .parquet(added.map(df => s"$root/${df.path}"): _*)
   }
 
-  /** Snapshot history as a DataFrame (the `history()` metadata table). */
+  /** Snapshot history as a DataFrame (the `history()` metadata table).
+    * `n_files`/`n_bytes` count data entries; `n_delete_files` the
+    * equality-delete entries carried at that snapshot. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
     snapshotIds().map { id =>
       val m = manifest(id)
-      (m.id, m.parent, m.op, m.files.size.toLong, m.files.map(_.bytes).sum)
-    }.toDF("snapshot_id", "parent_id", "operation", "n_files", "n_bytes")
+      val (dels, datas) = m.files.partition(_.isDelete)
+      (m.id, m.parent, m.op, datas.size.toLong, datas.map(_.bytes).sum,
+        dels.size.toLong)
+    }.toDF("snapshot_id", "parent_id", "operation", "n_files", "n_bytes",
+      "n_delete_files")
   }
 
   /** Roll the table back: a NEW head snapshot whose file set is snapshot
@@ -216,12 +320,12 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       val parent = currentId().getOrElse(
         throw new IllegalStateException("rollback on an empty snapshot log"))
       val id = parent + 1
-      val body = new StringBuilder()
-        .append(s"id=$id parent=$parent op=rollback-to-$toId\n")
-      target.files.foreach(df => body.append(s"${df.bytes}\t${df.path}\n"))
+      // file entries keep their original seqs: deletes keep applying (or
+      // not) exactly as they did at the rolled-back-to snapshot
+      val body = render(id, parent, s"rollback-to-$toId", target.files)
       val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(body.getBytes("UTF-8")) finally out.close()
       val tgt = new Path(metaDir, f"snap-$id%09d")
       if (claim(f, tmp, tgt)) return id
       f.delete(tmp, false)
@@ -250,13 +354,18 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     val head = currentId().getOrElse(
       throw new IllegalStateException(s"no snapshots under $root"))
     val cur = manifest(head)
-    val byLeaf = cur.files.groupBy(df =>
-      df.path.substring(0, df.path.lastIndexOf('/')))
-    val victims = byLeaf.filter { case (_, fs) =>
+    // bin-pack only WITHIN a (leaf, seq) group: merging files of
+    // different sequence numbers would have to pick one seq for the
+    // merged file, silently changing which equality deletes apply to
+    // whose rows. Epoch-partitioned leaves are single-commit in
+    // practice, so this costs nothing.
+    val byLeafSeq = cur.files.filterNot(_.isDelete).groupBy(df =>
+      (df.path.substring(0, df.path.lastIndexOf('/')), df.seq))
+    val victims = byLeafSeq.filter { case (_, fs) =>
       fs.count(_.bytes < smallBytes) > 1 }
     if (victims.isEmpty) return (0, 0, 0)
     val f = fs
-    val rewritten = victims.toSeq.flatMap { case (leaf, files) =>
+    val rewritten = victims.toSeq.flatMap { case ((leaf, seq), files) =>
       val total = math.max(1L, files.map(_.bytes).sum)
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       // rewrite into a staging dir, then move files in: readers of the
@@ -279,7 +388,9 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
           val tgt = new Path(new Path(root, leaf), name)
           if (!f.rename(s.getPath, tgt))
             throw new IllegalStateException(s"rewrite rename failed: $tgt")
-          DataFile(s"$leaf/$name", s.getLen)
+          // seq preserved from the sources: a pure bin-pack must not
+          // change delete applicability
+          DataFile(s"$leaf/$name", s.getLen, seq)
         }
       f.delete(staged, true)
       moved
@@ -287,10 +398,67 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     // one commit whose added set is EXACTLY the compact-* files (an
     // explicit list — old small files share the same dirs and must stay
     // on disk for time travel, so dir re-listing would double-reference)
-    commitFiles("rewrite-small-files", rewritten, victims.keys.toSeq)
+    commitFiles("rewrite-small-files", rewritten, Seq.empty,
+      dropExactPaths = victims.values.flatten.map(_.path).toSet)
     // old small files are NOT deleted here (prior snapshots reference
     // them); expire() reclaims them once those snapshots age out
     (victims.size, victims.values.map(_.size).sum, rewritten.size)
+  }
+
+  /** Materialize equality deletes (Iceberg's `rewrite_data_files` with
+    * delete compaction): rewrite every data file some delete applies to,
+    * with those deletes applied, and commit a head in which the delete
+    * entries are gone — the head read is a pure file scan again. Prior
+    * snapshots still merge-on-read their own delete set (time travel is
+    * exact); `expire` reclaims superseded data and delete files.
+    *
+    * The rewrite is partition-local distributed work (each affected
+    * leaf's files scanned once, anti-joined, rewritten); the driver
+    * touches file NAMES only. Returns (partitionsRewritten,
+    * deleteEntriesDropped). */
+  def materializeDeletes(spark: SparkSession,
+      targetBytes: Long = 512L << 20): (Int, Int) = {
+    val head = currentId().getOrElse(
+      throw new IllegalStateException(s"no snapshots under $root"))
+    val (dels, datas) = manifest(head).files.partition(_.isDelete)
+    if (dels.isEmpty) return (0, 0)
+    val affected = datas.filter(df => dels.exists(_.seq > df.seq))
+    if (affected.isEmpty) {
+      // deletes apply to nothing (all data newer): just drop the entries
+      commitFiles("rewrite-materialize-deletes", Seq.empty, Seq.empty,
+        dropAllDeletes = true)
+      return (0, dels.size)
+    }
+    val f = fs
+    val byLeaf = affected.groupBy(df =>
+      df.path.substring(0, df.path.lastIndexOf('/')))
+    val rewritten = byLeaf.toSeq.flatMap { case (leaf, files) =>
+      val n = math.max(1, math.ceil(
+        files.map(_.bytes).sum.toDouble / targetBytes).toInt)
+      val staged = new Path(root, s"$leaf/.materialize-${java.util.UUID.randomUUID()}")
+      applyDeletes(spark, files, dels)
+        .drop(leaf.split('/').map(_.takeWhile(_ != '=')).toIndexedSeq: _*)
+        .coalesce(n)
+        .write.mode("overwrite").parquet(staged.toString)
+      val moved = f.listStatus(staged).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .zipWithIndex.map { case (s, i) =>
+          val name = s"purged-${java.util.UUID.randomUUID()}-$i.parquet"
+          val tgt = new Path(new Path(root, leaf), name)
+          if (!f.rename(s.getPath, tgt))
+            throw new IllegalStateException(s"materialize rename failed: $tgt")
+          // seq = -1: stamped with the commit id. Correct — every delete
+          // at head is already APPLIED in this content, and `dropAllDeletes`
+          // removes them from the head, so nothing re-applies.
+          DataFile(s"$leaf/$name", s.getLen)
+        }
+      f.delete(staged, true)
+      moved
+    }
+    commitFiles("rewrite-materialize-deletes", rewritten, Seq.empty,
+      dropExactPaths = affected.map(_.path).toSet, dropAllDeletes = true)
+    (byLeaf.size, dels.size)
   }
 
   /** Expire all but the last `keepLast` snapshots and delete data files no
@@ -321,7 +489,12 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
 }
 
 object SnapshotLog {
-  final case class DataFile(path: String, bytes: Long)
+  /** One manifest entry. `seq` is the data sequence number — the id of
+    * the snapshot that added the file (`-1` = stamp at commit); equality
+    * deletes apply only to data entries with strictly lower seq.
+    * `isDelete` marks an equality-delete key file under `_deletes/`. */
+  final case class DataFile(path: String, bytes: Long, seq: Long = -1L,
+      isDelete: Boolean = false)
   final case class Manifest(id: Long, parent: Long, op: String, files: Seq[DataFile])
   private val SnapName = "snap-(\\d+)".r
 }

@@ -253,6 +253,109 @@ class SnapshotSpec extends SparkSpec {
     assert(id2 === s5 && d2.count() === 6)
   }
 
+  test("equality deletes: merge-on-read hides keys, time travel keeps them, re-inserts survive") {
+    import spark.implicits._
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+
+    // DELETE FROM t WHERE id IN (3, 7) — keys stay a distributed frame
+    val sDel = l.commitDeletes(spark, Seq(3, 7).toDF("id"))
+    assert(l.readLatest(spark).count() === 8)
+    assert(l.readLatest(spark).select("id").as[Int].collect().toSet
+      === ((1 to 10).toSet -- Set(3, 7)))
+    // time travel BEFORE the delete still sees the rows
+    assert(l.read(spark, s0).count() === 10)
+    // history surfaces the carried delete entry
+    val h = l.history(spark).orderBy("snapshot_id").collect()
+    assert(h.head.getLong(5) === 0L)
+    assert(h.last.getLong(5) >= 1L, "delete snapshot must carry delete entries")
+    assert(l.manifest(sDel).op === "delete")
+
+    // sequence-number rule: a RE-INSERT of a deleted key after the
+    // delete is NOT hidden (the delete only applies to older files)
+    writeEpoch(root, 0, 1, Seq(3, 11))
+    l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    val afterReinsert = l.readLatest(spark).select("id").as[Int].collect().toSeq
+    assert(afterReinsert.count(_ == 3) === 1, "re-inserted key must survive")
+    assert(afterReinsert.toSet === Set(1, 2, 4, 5, 6, 8, 9, 10, 3, 11))
+
+    // a second delete hits BOTH old and previously-re-inserted rows
+    l.commitDeletes(spark, Seq(5, 3).toDF("id"))
+    assert(l.readLatest(spark).select("id").as[Int].collect().toSet
+      === Set(1, 2, 4, 6, 8, 9, 10, 11))
+
+    // incremental scans refuse a range containing a delete (non-append)
+    intercept[IllegalStateException] { l.changes(spark, s0, l.currentId().get) }
+  }
+
+  test("materializeDeletes rewrites affected files and restores a pure-scan head") {
+    import spark.implicits._
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    writeEpoch(root, 1, 1, 11 to 20)
+    l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    l.commit("append-epoch-1", Seq("host_bucket=1/crawl_epoch=1"))
+    l.commitDeletes(spark, Seq(2, 13, 19).toDF("id"))
+    val preMat = l.currentId().get
+    val expected = ((1 to 20).toSet -- Set(2, 13, 19))
+    assert(l.readLatest(spark).select("id").as[Int].collect().toSet === expected)
+    // merge-on-read head has the anti-join in the plan
+    assert(l.readLatest(spark).queryExecution.executedPlan.toString
+      .contains("LeftAnti"), "pre-materialize read must merge-on-read")
+
+    val (parts, delsDropped) = l.materializeDeletes(spark)
+    assert(parts === 2, "both affected leaves rewritten")
+    assert(delsDropped >= 1, "the delete commit's entries must be dropped")
+    // same rows, but the head is delete-free and the plan a pure scan
+    assert(l.readLatest(spark).select("id").as[Int].collect().toSet === expected)
+    assert(!l.manifest(l.currentId().get).files.exists(_.isDelete))
+    assert(!l.readLatest(spark).queryExecution.executedPlan.toString
+      .contains("LeftAnti"), "post-materialize read must be a pure scan")
+    assert(l.manifest(l.currentId().get).op === "rewrite-materialize-deletes")
+
+    // time travel: the pre-materialize snapshot still merges-on-read
+    assert(l.read(spark, preMat).select("id").as[Int].collect().toSet === expected)
+    // and the pre-delete snapshot still sees everything
+    assert(l.read(spark, 1L).count() === 20)
+
+    // appends continue cleanly on the materialized head; expire reclaims
+    // superseded data AND delete files, and the head still reads right
+    writeEpoch(root, 0, 2, 21 to 23)
+    l.commit("append-epoch-2", Seq("host_bucket=0/crawl_epoch=2"))
+    val (_, reclaimed) = l.expire(keepLast = 1)
+    assert(reclaimed > 0, "old data + delete key files must be reclaimed")
+    assert(l.readLatest(spark).select("id").as[Int].collect().toSet
+      === (expected ++ Set(21, 22, 23)))
+  }
+
+  test("rewriteSmallFiles preserves sequence numbers: deletes keep applying to compacted content") {
+    import spark.implicits._
+    val root = tmp()
+    val l = log(root)
+    // two small files in one leaf (repartition(2)) committed together
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (1 to 8).toDF("id")
+      .withColumn("host_bucket", lit(0)).withColumn("crawl_epoch", lit(0))
+      .repartition(2)
+      .write.mode("overwrite").partitionBy("host_bucket", "crawl_epoch")
+      .parquet(root)
+    l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    l.commitDeletes(spark, Seq(4).toDF("id"))
+    // re-insert 4 AFTER the delete, then compact the epoch-0 leaf
+    writeEpoch(root, 0, 1, Seq(4))
+    l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    val (nParts, _, _) = l.rewriteSmallFiles(spark, smallBytes = 1 << 20, targetBytes = 1 << 20)
+    assert(nParts >= 1, "epoch-0's two small files must compact")
+    // the delete still hides old 4 (compacted file kept seq 0) and the
+    // re-inserted 4 (seq 2 > delete seq 1) still shows: exactly one 4
+    val ids = l.readLatest(spark).select("id").as[Int].collect().toSeq
+    assert(ids.count(_ == 4) === 1, s"must keep exactly the re-inserted 4, got $ids")
+    assert(ids.toSet === Set(1, 2, 3, 4, 5, 6, 7, 8))
+  }
+
   test("rewriteSmallFiles compacts per partition under a new snapshot; time travel + expire intact") {
     val root = tmp()
     val l = log(root)
