@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Iceberg-style snapshot log over a partitioned parquet table: an ordered
   * chain of immutable MANIFESTS (file lists) under `<root>/_snapshots/`,
@@ -44,9 +45,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with deletes applied and drops the delete entries, after which the
   * head read is a pure scan again.
   *
+  * Schema evolution (Iceberg's `ALTER TABLE ... ADD COLUMN` story):
+  * the table schema is RECORDED IN THE MANIFEST (one JSON line), so a
+  * snapshot read pins its snapshot's schema with `spark.read.schema` —
+  * O(1), no `mergeSchema` footer sweep over every file (which is the
+  * non-scalable alternative at 10^10-row tables). [[evolveSchema]]
+  * commits a metadata-only schema change, validated additive (existing
+  * columns keep name and type); files written before the new column
+  * backfill it as null at read time, and time travel reads each
+  * snapshot under the schema it had. Schema-less manifests (never
+  * recorded) fall back to footer inference, the pre-evolution behavior.
+  *
   * Manifest format (one text file per snapshot, hadoop-FS portable):
   * {{{
   *   id=<id> parent=<parentId> op=<operation>
+  *   schema=<StructType JSON>                         (optional line 2)
   *   <bytes>\t<path relative to root>\t<seq>          (data file)
   *   D\t<bytes>\t<path relative to root>\t<seq>       (equality-delete file)
   *   ...
@@ -102,7 +115,12 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     val lines = text.split('\n').filter(_.nonEmpty)
     val Header = "id=(\\d+) parent=(-?\\d+) op=(.+)".r
     val Header(i, par, op) = lines.head: @unchecked
-    val files = lines.tail.map { l =>
+    val (schema, fileLines) =
+      if (lines.length > 1 && lines(1).startsWith("schema="))
+        (Some(DataType.fromJson(lines(1).stripPrefix("schema="))
+          .asInstanceOf[StructType]), lines.drop(2))
+      else (None, lines.tail)
+    val files = fileLines.map { l =>
       val parts = l.split('\t')
       if (parts(0) == "D")
         DataFile(parts(2), parts(1).toLong, parts(3).toLong, isDelete = true)
@@ -114,7 +132,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
         // carried ones (no legacy manifest ever coexisted with deletes)
         DataFile(parts(1), parts(0).toLong, i.toLong)
     }.toSeq
-    Manifest(i.toLong, par.toLong, op, files)
+    Manifest(i.toLong, par.toLong, op, files, schema)
   }
 
   /** Commit a new snapshot: carry the parent's files minus any under the
@@ -153,12 +171,14 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       replacedPartitions: Seq[String],
       dropCarriedUnder: Seq[String] = Seq.empty,
       dropExactPaths: Set[String] = Set.empty,
-      dropAllDeletes: Boolean = false): Long = {
+      dropAllDeletes: Boolean = false,
+      schema: Option[StructType] = None): Long = {
     val f = fs
     var attempt = 0
     while (true) {
       val parent = currentId()
-      val carried = parent.map(manifest(_).files).getOrElse(Seq.empty)
+      val pm = parent.map(manifest(_))
+      val carried = pm.map(_.files).getOrElse(Seq.empty)
         .filterNot(df => replacedPartitions.exists(p => df.path.startsWith(p + "/"))
           // a replayed leaf dir replaces itself: drop stale entries for
           // the added leaves too (their files were rewritten)
@@ -167,7 +187,9 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
           || (dropAllDeletes && df.isDelete))
       val id = parent.getOrElse(-1L) + 1
       val stamped = added.map(df => if (df.seq < 0) df.copy(seq = id) else df)
-      val body = render(id, parent.getOrElse(-1L), op, carried ++ stamped)
+      // schema: explicit on this commit, else inherited from the parent
+      val effSchema = schema.orElse(pm.flatMap(_.schema))
+      val body = render(id, parent.getOrElse(-1L), op, carried ++ stamped, effSchema)
       f.mkdirs(metaDir)
       val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
@@ -184,13 +206,37 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
   }
 
   private def render(id: Long, parent: Long, op: String,
-      files: Seq[DataFile]): String = {
+      files: Seq[DataFile], schema: Option[StructType]): String = {
     val body = new StringBuilder().append(s"id=$id parent=$parent op=$op\n")
+    schema.foreach(st => body.append(s"schema=${st.json}\n"))
     files.foreach { df =>
       if (df.isDelete) body.append(s"D\t${df.bytes}\t${df.path}\t${df.seq}\n")
       else body.append(s"${df.bytes}\t${df.path}\t${df.seq}\n")
     }
     body.toString
+  }
+
+  /** Metadata-only schema change (Iceberg's `ALTER TABLE ADD COLUMN`):
+    * validated ADDITIVE against the recorded schema — every existing
+    * column must keep its name and type (name-based evolution; renames
+    * and drops refuse loudly rather than silently corrupting old-file
+    * reads). Include partition columns in `newSchema`. Subsequent
+    * commits inherit it; files written before the new columns backfill
+    * them as null at read time. */
+  def evolveSchema(newSchema: StructType): Long = {
+    currentId().map(manifest(_)).flatMap(_.schema).foreach { old =>
+      old.fields.foreach { f =>
+        val nf = newSchema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution must be additive: column '${f.name}' is missing " +
+              "from the new schema (drops/renames are not supported)"))
+        if (nf.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"schema evolution must be additive: column '${f.name}' changes type " +
+              s"${f.dataType.simpleString} -> ${nf.dataType.simpleString}")
+      }
+    }
+    commitFiles("set-schema", Seq.empty, Seq.empty, schema = Some(newSchema))
   }
 
   /** Row-level delete (Iceberg v2 equality delete, merge-on-read): land
@@ -221,14 +267,23 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * sequence-number rule — see [[applyDeletes]]); with no deletes the
     * plan is the pure file scan it always was. */
   def read(spark: SparkSession, id: Long): DataFrame = {
-    val (dels, datas) = manifest(id).files.partition(_.isDelete)
+    val m = manifest(id)
+    val (dels, datas) = m.files.partition(_.isDelete)
     if (datas.isEmpty)
       // degenerate: an empty snapshot of a table that has a schema on disk
-      spark.read.parquet(root).limit(0)
+      m.schema.map(st => spark.read.schema(st).parquet(root).limit(0))
+        .getOrElse(spark.read.parquet(root).limit(0))
     else if (dels.isEmpty)
-      spark.read.option("basePath", root)
+      dataReader(spark, m.schema)
         .parquet(datas.map(df => s"$root/${df.path}"): _*)
-    else applyDeletes(spark, datas, dels)
+    else applyDeletes(spark, datas, dels, m.schema)
+  }
+
+  /** Data-file reader pinned to the snapshot's recorded schema (O(1) —
+    * no mergeSchema footer sweep); schema-less manifests infer. */
+  private def dataReader(spark: SparkSession, schema: Option[StructType]) = {
+    val r = spark.read.option("basePath", root)
+    schema.map(r.schema).getOrElse(r)
   }
 
   /** Merge-on-read: scan `datas` minus rows matching the APPLICABLE
@@ -240,11 +295,11 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * group count is O(delete commits at head), a small maintenance
     * number; the keys stay distributed (AQE broadcasts small sets). */
   private def applyDeletes(spark: SparkSession, datas: Seq[DataFile],
-      dels: Seq[DataFile]): DataFrame = {
+      dels: Seq[DataFile], schema: Option[StructType] = None): DataFrame = {
     val delSeqs = dels.map(_.seq).distinct.sorted
     val groups = datas.groupBy(df => delSeqs.count(_ <= df.seq)).toSeq.sortBy(_._1)
     groups.map { case (nInapplicable, files) =>
-      var frame = spark.read.option("basePath", root)
+      var frame = dataReader(spark, schema)
         .parquet(files.map(df => s"$root/${df.path}"): _*)
       val applicable = delSeqs.drop(nInapplicable).toSet
       if (applicable.nonEmpty) {
@@ -283,15 +338,18 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     // incremental scan throws on non-append snapshots; so do we.
     snapshotIds().filter(id => id > fromId && id <= toId).foreach { id =>
       val op = manifest(id).op
-      if (!op.startsWith("append"))
+      // set-schema is metadata-only (adds no files): incremental reads
+      // pass through it, as through any append
+      if (!op.startsWith("append") && op != "set-schema")
         throw new IllegalStateException(
           s"changes($fromId, $toId): snapshot $id is '$op', not an append — " +
             "incremental reads require an append-only range")
     }
+    val to = manifest(toId)
     val before = manifest(fromId).files.map(_.path).toSet
-    val added = manifest(toId).files.filterNot(df => before.contains(df.path))
+    val added = to.files.filterNot(df => before.contains(df.path))
     if (added.isEmpty) read(spark, toId).limit(0)
-    else spark.read.option("basePath", root)
+    else dataReader(spark, to.schema)
       .parquet(added.map(df => s"$root/${df.path}"): _*)
   }
 
@@ -320,9 +378,11 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       val parent = currentId().getOrElse(
         throw new IllegalStateException("rollback on an empty snapshot log"))
       val id = parent + 1
-      // file entries keep their original seqs: deletes keep applying (or
-      // not) exactly as they did at the rolled-back-to snapshot
-      val body = render(id, parent, s"rollback-to-$toId", target.files)
+      // file entries keep their original seqs (deletes keep applying
+      // exactly as at the rolled-back-to snapshot), and the schema rolls
+      // back with the file set
+      val body = render(id, parent, s"rollback-to-$toId", target.files,
+        target.schema)
       val tmp = new Path(metaDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -372,7 +432,9 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       // CURRENT snapshot are unaffected until the commit lands (they
       // read by explicit file list, and old files stay put)
       val staged = new Path(root, s"$leaf/.rewrite-${java.util.UUID.randomUUID()}")
-      spark.read.option("basePath", root)
+      // head schema pinned: a post-evolution compaction materializes the
+      // null backfill into the rewritten files
+      dataReader(spark, cur.schema)
         .parquet(files.map(df => s"$root/${df.path}"): _*)
         // partition columns come back from basePath; drop them — the
         // rewritten files live under the same leaf dir, which re-derives
@@ -420,7 +482,8 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       targetBytes: Long = 512L << 20): (Int, Int) = {
     val head = currentId().getOrElse(
       throw new IllegalStateException(s"no snapshots under $root"))
-    val (dels, datas) = manifest(head).files.partition(_.isDelete)
+    val hm = manifest(head)
+    val (dels, datas) = hm.files.partition(_.isDelete)
     if (dels.isEmpty) return (0, 0)
     val affected = datas.filter(df => dels.exists(_.seq > df.seq))
     if (affected.isEmpty) {
@@ -436,7 +499,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
       val n = math.max(1, math.ceil(
         files.map(_.bytes).sum.toDouble / targetBytes).toInt)
       val staged = new Path(root, s"$leaf/.materialize-${java.util.UUID.randomUUID()}")
-      applyDeletes(spark, files, dels)
+      applyDeletes(spark, files, dels, hm.schema)
         .drop(leaf.split('/').map(_.takeWhile(_ != '=')).toIndexedSeq: _*)
         .coalesce(n)
         .write.mode("overwrite").parquet(staged.toString)
@@ -495,6 +558,7 @@ object SnapshotLog {
     * `isDelete` marks an equality-delete key file under `_deletes/`. */
   final case class DataFile(path: String, bytes: Long, seq: Long = -1L,
       isDelete: Boolean = false)
-  final case class Manifest(id: Long, parent: Long, op: String, files: Seq[DataFile])
+  final case class Manifest(id: Long, parent: Long, op: String,
+      files: Seq[DataFile], schema: Option[StructType] = None)
   private val SnapName = "snap-(\\d+)".r
 }

@@ -331,6 +331,61 @@ class SnapshotSpec extends SparkSpec {
       === (expected ++ Set(21, 22, 23)))
   }
 
+  test("schema evolution: add-column backfills null on old files; time travel reads old schema; non-additive refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // record the v1 schema (as written on disk, incl. partition columns)
+    val v1 = spark.read.parquet(root).schema
+    l.evolveSchema(v1)
+    assert(l.readLatest(spark).schema === v1)
+
+    // ADD COLUMN score double — metadata-only commit
+    val v2 = StructType(v1.fields :+ StructField("score", DoubleType, nullable = true))
+    val sEvo = l.evolveSchema(v2)
+    assert(l.manifest(sEvo).op === "set-schema")
+    // head now reads the new schema; old files backfill null
+    val afterEvo = l.readLatest(spark)
+    assert(afterEvo.schema.fieldNames.contains("score"))
+    assert(afterEvo.filter(col("score").isNull).count() === 10)
+    // time travel BEFORE the evolution reads the old schema
+    assert(!l.read(spark, s0).schema.fieldNames.contains("score"))
+
+    // new data carries the column; subsequent commits inherit the schema
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (11 to 15).toDF("id").withColumn("score", col("id") * 0.5)
+      .withColumn("host_bucket", lit(0)).withColumn("crawl_epoch", lit(1))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("host_bucket", "crawl_epoch")
+      .parquet(root)
+    val s1 = l.commit("append-epoch-1", Seq("host_bucket=0/crawl_epoch=1"))
+    val mixed = l.readLatest(spark)
+    assert(mixed.count() === 15)
+    assert(mixed.filter(col("score").isNotNull).count() === 5)
+    assert(mixed.agg(sum("score")).head.getDouble(0) === (11 to 15).map(_ * 0.5).sum)
+
+    // incremental scan passes through the metadata-only commit and reads
+    // the delta under the evolved schema
+    val delta = l.changes(spark, s0, s1)
+    assert(delta.count() === 5 && delta.schema.fieldNames.contains("score"))
+
+    // deletes compose with evolution: keys on the original column
+    l.commitDeletes(spark, Seq(12).toDF("id"))
+    assert(l.readLatest(spark).count() === 14)
+
+    // non-additive changes refuse loudly
+    intercept[IllegalArgumentException] {
+      l.evolveSchema(StructType(v2.fields.filterNot(_.name == "id")))
+    }
+    intercept[IllegalArgumentException] {
+      l.evolveSchema(StructType(v2.fields.map(f =>
+        if (f.name == "score") f.copy(dataType = StringType) else f)))
+    }
+  }
+
   test("rewriteSmallFiles preserves sequence numbers: deletes keep applying to compacted content") {
     import spark.implicits._
     val root = tmp()
