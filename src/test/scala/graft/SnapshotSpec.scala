@@ -476,4 +476,51 @@ class SnapshotSpec extends SparkSpec {
       assert(maxEpoch === k)
     }
   }
+
+  test("PayloadDeletes: deleteById/deleteByQuery over a real crawl; vacuum purges physically") {
+    import graft.sources.PayloadDeletes
+    val wd = tmp()
+    val cfg = CrawlConfig(workDir = wd, totalUrls = 900, epochs = 2,
+      numHosts = 12, buckets = 4, budgetPerHost = 40, seed = 7L)
+    CrawlLoop.run(spark, cfg, store = new SnapshotPayloadSink(cfg.buckets))
+    val l = new SnapshotPayloadSink(cfg.buckets).log(wd, spark)
+    val before = PayloadDeletes.readLatest(spark, wd)
+    val total = before.count()
+    val preHead = l.currentId().get
+
+    // deleteById: pick 5 stored document ids (ordered — the frame is
+    // re-evaluated inside commitDeletes and must pick the same rows)
+    val victims = before.select("image_id").distinct()
+      .orderBy("image_id").limit(5)
+    val victimIds = victims.collect().map(_.getString(0)).toSet
+    PayloadDeletes.deleteByIds(spark, wd, victims)
+    val afterById = PayloadDeletes.readLatest(spark, wd)
+    assert(afterById.filter(col("image_id").isin(victimIds.toSeq: _*)).count() === 0)
+    assert(afterById.count() === total -
+      before.filter(col("image_id").isin(victimIds.toSeq: _*)).count())
+    // time travel to the pre-delete head still sees them
+    assert(l.read(spark, preHead).count() === total)
+
+    // deleteByQuery: purge one whole host (takedown shape)
+    val host = before.filter(!col("image_id").isin(victimIds.toSeq: _*))
+      .select("host").head.getString(0)
+    PayloadDeletes.deleteHost(spark, wd, host)
+    val afterHost = PayloadDeletes.readLatest(spark, wd)
+    assert(afterHost.filter(col("host") === host).count() === 0)
+    val expectRows = afterHost.count()
+    assert(expectRows < total - victimIds.size + 1)
+
+    // vacuum: materialize + expire — rows identical, files physically gone
+    val ((parts, delsDropped), (manifests, reclaimed)) =
+      PayloadDeletes.vacuum(spark, wd, keepLast = 1)
+    assert(parts > 0 && delsDropped > 0 && manifests > 0 && reclaimed > 0)
+    val afterVacuum = PayloadDeletes.readLatest(spark, wd)
+    assert(afterVacuum.count() === expectRows)
+    assert(afterVacuum.filter(col("host") === host
+      || col("image_id").isin(victimIds.toSeq: _*)).count() === 0)
+    // head is a pure scan again (no merge-on-read join)
+    assert(!afterVacuum.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // the raw parquet path converges after vacuum: purged files reclaimed
+    assert(spark.read.parquet(s"$wd/payload").count() === expectRows)
+  }
 }
