@@ -67,6 +67,7 @@ object SparkEntry {
     "q48_chunk_dedup" -> (Queries.q48ChunkDedup _),
     "q49_temperature_mix" -> (Queries.q49TemperatureMix _),
     "q50_training_assembly" -> (Queries.q50TrainingAssembly _),
+    "q51_semdedup" -> (Queries.q51SemDedup _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -797,6 +797,11 @@ object OracleSql {
       SELECT doc_id, source, n_tok, start_tok,
              start_tok // 256 AS first_seq,
              (start_tok + n_tok - 1) // 256 AS last_seq
-      FROM p ORDER BY doc_id"""
+      FROM p ORDER BY doc_id""",
+
+    // SemDeDup: the whole pipeline replicated — Spark-exact xxhash64
+    // centroid pick, double-cosine argmax assignment, within-cluster
+    // pairs, recursive-CTE components (see [[SemOracleSql]])
+    "q51_semdedup" -> SemOracleSql.q51Sql
   )
 }

@@ -588,16 +588,18 @@ object Queries {
     ivfAnnOver(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       7L, k => math.max(2, k / 2))
 
-  /** [[q38IvfAnn]]'s engine over any (vec_id, embedding) frame with a
-    * caller-chosen nprobe policy — the spec feeds a clustered fixture at
-    * the honest nprobe = K/8 here. */
-  private[graft] def ivfAnnOver(s: SparkSession, embIn: DataFrame,
-      queryId: Long, nprobeOf: Int => Int): DataFrame = {
+  /** Shared coarse quantizer (q38 IVF + q51 SemDeDup): a deterministic
+    * hash-ranked centroid sample of size max(4, min(4096, round(√n))) —
+    * the k-means++ seeding step kept iteration-free for determinism —
+    * then one NARROW broadcast argmax-cosine assignment pass (no
+    * shuffle: mapPartitions over the scan). Returns (centroids,
+    * assigned(vec_id, cid, embedding)). */
+  private[graft] def coarseQuantize(s: SparkSession, embIn: DataFrame)
+      : (Array[(Long, Array[Float])], DataFrame) = {
     import s.implicits._
     val emb = embIn.select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val k = math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
-    val nprobe = math.max(1, nprobeOf(k))
     // deterministic centroid sample: k corpus vectors ranked by key hash
     val cents = emb.withColumn("r__", xxhash64(col("vec_id")))
       .orderBy(col("r__"), col("vec_id")).limit(k)
@@ -615,6 +617,18 @@ object Queries {
         (id, bestC, v)
       }
     }.toDF("vec_id", "cid", "embedding")
+    (cents, assigned)
+  }
+
+  /** [[q38IvfAnn]]'s engine over any (vec_id, embedding) frame with a
+    * caller-chosen nprobe policy — the spec feeds a clustered fixture at
+    * the honest nprobe = K/8 here. */
+  private[graft] def ivfAnnOver(s: SparkSession, embIn: DataFrame,
+      queryId: Long, nprobeOf: Int => Int): DataFrame = {
+    import s.implicits._
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    val (cents, assigned) = coarseQuantize(s, emb)
+    val nprobe = math.max(1, nprobeOf(cents.length))
     val qv = emb.filter(col("vec_id") === queryId)
       .as[(Long, Array[Float])].head()._2
     val probeCids = cents
@@ -626,6 +640,42 @@ object Queries {
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+  }
+
+  /** SemDeDup-shape semantic dedup (the published embedding-clustering
+    * method: cluster the embedding space, then near-dup prune WITHIN
+    * clusters only — Abbas et al. 2023): the [[coarseQuantize]] coarse
+    * k-means assigns every vector to its nearest of K ≈ √n deterministic
+    * centroids; within each cluster, exact-cosine pairs ≥ 0.4 feed
+    * [[connectedComponents]]; each group keeps its min-vec_id
+    * representative (deterministic stand-in for SemDeDup's
+    * farthest-from-centroid choice). Output: one row per vector with its
+    * semantic cluster, dedup-group rep/size, and the keep flag.
+    *
+    * Scale shape: assignment is a narrow broadcast pass; the pair join is
+    * cid-partitioned with occupancy ~n/K, so global pair work is
+    * ~K·(n/K)² = n²/K ≈ n^1.5 — never the global all-pairs n² (that's
+    * q29, kept as the exactness baseline). Oracle: the full pipeline —
+    * hash-ranked centroid pick (Spark-exact xxhash64), double-cosine
+    * argmax assignment, within-cluster pairs, recursive-CTE components —
+    * replicated in DuckDB ([[SemOracleSql]]). */
+  def q51SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = coarseQuantize(s,
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    val a = assigned.repartition(s.sparkContext.defaultParallelism, col("cid"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")) >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val groups = connectedComponents(s, pairs)
+    assigned.select(col("vec_id"), col("cid"))
+      .join(groups.select(col("id").as("vec_id"), col("rep"),
+        col("cluster_size")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("rep"), col("vec_id")).as("group_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("group_size"),
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("keep"))
+      .orderBy(col("vec_id"))
   }
 
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision

@@ -1,0 +1,140 @@
+package graft.readside
+
+/** Generator for q51's DuckDB oracle: replicates the SemDeDup pipeline
+  * END-TO-END — deterministic centroid pick, coarse assignment, within-
+  * cluster near-dup components — so the semantic-clustering mechanics are
+  * value-gated, not just the final projection.
+  *
+  * Exactness arguments:
+  *  - the centroid sample is the engine's `orderBy(xxhash64(vec_id),
+  *    vec_id).limit(k)`: Spark's `xxhash64` on a LongType column is XXH64's
+  *    8-byte tail with seed 42, replicated here in HUGEINT with the same
+  *    32-bit-limb multiply trick as the q27 oracle (`LshOracleSql`,
+  *    validated bit-exact against Spark 4.1.2), then compared as SIGNED
+  *    64-bit like Spark's sort;
+  *  - k = max(4, min(4096, round(√n))) is computed as
+  *    `floor(sqrt(n)+0.5)` — exactly `java.lang.Math.round`'s
+  *    half-up, immune to DuckDB's banker's rounding;
+  *  - assignment replicates the engine's argmax loop `c > best || (c ==
+  *    best && cid < bestC)` as `row_number() OVER (... ORDER BY cos DESC,
+  *    cid ASC) = 1`, with the cosine written in the engine's exact form
+  *    `dot / sqrt(na·nb)` (ExprOps.cosineF / cosineLocal — one sqrt of
+  *    the product, not a product of sqrts) over DOUBLE[] casts, the
+  *    formulation already hash-gated by q29/q30/q41 on this table;
+  *  - components are the q41 oracle's recursive transitive closure
+  *    (rep = min reachable id ≡ the engine's min-label fixpoint).
+  */
+private object SemOracleSql {
+  private val M64s = "18446744073709551616::HUGEINT"
+  private val M32 = BigInt(1) << 32
+  private val M64 = BigInt(1) << 64
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+
+  private def mul64(a: String, b: BigInt): String = {
+    val bl = b % M32; val bh = b / M32
+    s"((($a) % 4294967296 * $bl + " +
+      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
+  }
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
+  private def rotl(a: String, n: Int): String =
+    s"((($a) * ${BigInt(1) << n} % $M64s) + (($a) // ${BigInt(1) << (64 - n)}))"
+  private def addc(a: String, c: BigInt): String =
+    s"((($a) + ${c % M64}) % $M64s)"
+  private def shr(col: String, n: Int): String = s"(($col) // ${BigInt(1) << n})"
+
+  /** One CTE per hash stage, constant expression size (q27 discipline). */
+  private def chain(base: String, baseCols: Seq[String],
+      stages: Seq[(String, String)], prefix: String): (String, String) = {
+    var prev = base
+    val cols = scala.collection.mutable.ArrayBuffer(baseCols: _*)
+    val ctes = stages.zipWithIndex.map { case ((name, expr), i) =>
+      val cte = s"$prefix$i"
+      val out = s"$cte AS (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
+      prev = cte; cols += name
+      out
+    }
+    (ctes.mkString(",\n      "), prev)
+  }
+
+  private def cosine(a: String, b: String): String =
+    s"""(list_dot_product($a, $b) /
+          sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"""
+
+  val q51Sql: String = {
+    // Spark xxhash64(long, seed=42): XXH64 8-byte tail + avalanche
+    // (identical stage list to LshOracleSql's hashLong)
+    val hlBase = (BigInt(42) + P5 + 8) % M64
+    val hlStages = Seq(
+      "t1" -> mul64("h", P2),
+      "t2" -> rotl("t1", 31),
+      "t3" -> mul64("t2", P1),
+      "t4" -> xor64(hlBase.toString, "t3"),
+      "t5" -> rotl("t4", 27),
+      "t6" -> addc(mul64("t5", P1), P4),
+      "u1" -> xor64("t6", shr("t6", 33)),
+      "u2" -> mul64("u1", P2),
+      "u3" -> xor64("u2", shr("u2", 29)),
+      "u4" -> mul64("u3", P3),
+      "hl" -> xor64("u4", shr("u4", 32)))
+    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hlStages, "sx")
+    s"""
+      WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e),
+      kk AS (SELECT greatest(CAST(4 AS BIGINT), least(CAST(4096 AS BIGINT),
+               CAST(floor(sqrt(CAST(nd AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+             FROM n),
+      ids AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h FROM e),
+      $hlCtes,
+      hsigned AS (
+        SELECT vec_id,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast),
+      cent AS (
+        SELECT r.vec_id AS cid, e.v AS cv
+        FROM (SELECT vec_id,
+                     row_number() OVER (ORDER BY hs, vec_id) AS rn
+              FROM hsigned) r
+        JOIN e ON e.vec_id = r.vec_id
+        WHERE r.rn <= (SELECT k FROM kk)),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT x.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY ${cosine("x.v", "c.cv")} DESC, c.cid ASC) AS rn
+          FROM e x CROSS JOIN cent c)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE ${cosine("ea.v", "eb.v")} >= 0.4),
+      edges AS (
+        SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+      ), reach(a, b) AS (
+        SELECT id_a, id_a FROM edges
+        UNION
+        SELECT r.a, e2.id_b FROM reach r JOIN edges e2 ON r.b = e2.id_a
+      ), labels AS (
+        SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a
+      ), sizes AS (
+        SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep
+      )
+      SELECT x.vec_id, x.cid,
+             coalesce(l.rep, x.vec_id) AS group_rep,
+             coalesce(s.cluster_size, CAST(1 AS BIGINT)) AS group_size,
+             (coalesce(l.rep, x.vec_id) = x.vec_id) AS keep
+      FROM assign x
+      LEFT JOIN labels l ON l.vec_id = x.vec_id
+      LEFT JOIN sizes s ON s.rep = l.rep
+      ORDER BY x.vec_id"""
+  }
+}

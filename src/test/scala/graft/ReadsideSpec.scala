@@ -397,4 +397,72 @@ class ReadsideSpec extends SparkSpec {
     // pairs above 0.4 exact-cosine that SRP finds must be genuine
     assert(srp.intersect(exact).subsetOf(exact))
   }
+
+  test("q51 SemDeDup equals a driver-side reimplementation; keep-set invariants hold") {
+    import graft.readside.Queries
+    import graft.functions.SimilarityFunctions
+    val got = SparkEntry.queries("q51_semdedup")(spark, dir)
+      .select($"vec_id", $"cid", $"group_rep", $"group_size", $"keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+
+    // driver-side reimplementation: same centroid pick (engine helper for
+    // the hash ranking only), then independent assignment + pairs +
+    // union-find entirely in local Scala
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val n = emb.length
+    val k = math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    val ranked = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", org.apache.spark.sql.functions.xxhash64($"vec_id").as("r"))
+      .as[(Long, Long)].collect().sortBy { case (id, r) => (r, id) }
+      .take(k).map(_._1).toSet
+    val cents = emb.filter(t => ranked.contains(t._1)).sortBy(_._1)
+    def assignOf(v: Array[Float]): Long = {
+      var best = -2.0; var bestC = Long.MaxValue
+      cents.foreach { case (cid, cv) =>
+        val c = SimilarityFunctions.cosineLocal(v, cv)
+        if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+      }
+      bestC
+    }
+    val assign = emb.map { case (id, v) => id -> assignOf(v) }.toMap
+    val byId = emb.toMap
+    val pairs = for {
+      (a, va) <- emb; (b, vb) <- emb
+      if a < b && assign(a) == assign(b) &&
+        SimilarityFunctions.cosineLocal(va, vb) >= 0.4
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = pairs.flatMap(t => Seq(t._1, t._2)).distinct.groupBy(find)
+    val repOf: Map[Long, (Long, Long)] = members.toSeq.flatMap { case (_, ns) =>
+      val rep = ns.min; ns.toSeq.map(_ -> (rep, ns.length.toLong))
+    }.toMap
+    val expect = emb.map { case (id, _) =>
+      val (rep, sz) = repOf.getOrElse(id, (id, 1L))
+      (id, assign(id), rep, sz, rep == id)
+    }.toSet
+    assert(got === expect, s"got=${got.size} expect=${expect.size}")
+
+    // invariants: exactly one keep per group, the keeper is the min id,
+    // groups never span semantic clusters
+    val byGroup = got.groupBy(_._3)
+    byGroup.foreach { case (rep, rows) =>
+      assert(rows.count(_._5) === 1, s"group $rep must keep exactly one")
+      assert(rows.filter(_._5).head._1 === rows.map(_._1).min)
+    }
+    assert(got.exists(!_._5), "fixture must contain at least one dropped near-dup")
+    // every group is within ONE semantic cluster (SemDeDup's defining
+    // property: pairs are only generated within clusters)
+    byGroup.filter(_._2.size > 1).foreach { case (rep, rows) =>
+      assert(rows.map(_._2).toSet.size === 1, s"group $rep spans clusters")
+    }
+  }
 }
