@@ -477,6 +477,40 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("tail-driven incremental indexer over per-epoch crawl commits equals the full-table index") {
+    val wd = tmp()
+    val cfg = CrawlConfig(workDir = wd, totalUrls = 900, epochs = 3,
+      numHosts = 12, buckets = 4, budgetPerHost = 40, seed = 7L)
+    val sink = new SnapshotPayloadSink(cfg.buckets)
+    val l = sink.log(wd, spark)
+    val tail = new SnapshotTail(l, s"$wd/_indexer",
+      spark.sparkContext.hadoopConfiguration)
+    // a downstream indexer on the loop's cadence (ST2): one epoch per
+    // tick, then one poll — each delta is read from EXACTLY the files
+    // that epoch's snapshot appended, never the table
+    val index = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    var polls = 0
+    (0 until cfg.epochs).foreach { _ =>
+      CrawlLoop.run(spark, cfg, stopAfter = 1, store = sink)
+      tail.poll(spark).foreach { case (delta, headId) =>
+        polls += 1
+        delta.groupBy(col("fmt"), col("status")).agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach(r => index((r.getString(0), r.getString(1))) += r.getLong(2))
+        tail.ack(headId)
+      }
+    }
+    assert(polls === cfg.epochs, "one delta per epoch commit")
+    assert(tail.poll(spark).isEmpty, "caught up after the last epoch")
+    // the incrementally-built index ≡ the full-table rollup
+    val full = l.readLatest(spark).groupBy(col("fmt"), col("status"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(index.toMap === full,
+      "tail-fed incremental index diverged from the full table")
+  }
+
   test("PayloadDeletes: deleteById/deleteByQuery over a real crawl; vacuum purges physically") {
     import graft.sources.PayloadDeletes
     val wd = tmp()
