@@ -660,8 +660,14 @@ object Queries {
     * argmax assignment, within-cluster pairs, recursive-CTE components —
     * replicated in DuckDB ([[SemOracleSql]]). */
   def q51SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val (_, assigned) = coarseQuantize(s,
+    val (_, assignedRaw) = coarseQuantize(s,
       t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    // materialize the assignment ONCE (scratch parquet): the argmax pass
+    // is the expensive stage (K ≈ √n cosines per row) and a typed
+    // mapPartitions subtree does not canonicalize across a self-join, so
+    // without the cut Spark plans the pass TWICE — PlanSpec pins the
+    // single-pass shape
+    val assigned = materialize(s, assignedRaw)
     val a = assigned.repartition(s.sparkContext.defaultParallelism, col("cid"))
     val pairs = a.as("a").join(a.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

@@ -145,6 +145,38 @@ class PlanSpec extends SparkSpec {
       "the assembled plan must run entirely on slim materialized stats")
   }
 
+  test("q51: argmax assignment runs ONCE (out of the doubled self-join subtree); final join broadcasts the group table") {
+    import org.apache.spark.sql.functions._
+    // A typed mapPartitions subtree does not canonicalize across a
+    // self-join (no ReusedExchange — measured), so the engine materializes
+    // the assignment to scratch BEFORE the within-cluster pair join. Pin
+    // the shape on an engine-identical reconstruction: the raw assignment
+    // plan carries exactly one MapPartitions (the argmax pass), and the
+    // pair plan over the materialized assignment carries NONE — the
+    // K≈√n-cosines-per-row pass can never be planned twice.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (_, assignedRaw) = Queries.coarseQuantize(spark, emb)
+    assert("MapPartitions".r.findAllIn(planExec(assignedRaw)).size == 1)
+    val scratch = java.nio.file.Files.createTempDirectory("plan-q51").toString
+    assignedRaw.write.mode("overwrite").parquet(scratch)
+    val assigned = spark.read.parquet(scratch)
+    val a = assigned.repartition(spark.sparkContext.defaultParallelism, col("cid"))
+    val pairs = a.as("a").join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val pp = planExec(pairs)
+    assert(!pp.contains("MapPartitions"),
+      "the pair stage must read the materialized assignment, not recompute the argmax")
+    assert(pp.contains("hashpartitioning(cid"),
+      "the self-join must be co-partitioned on the semantic cluster id")
+    // the output stage: the (small) group table broadcasts into the
+    // assignment scan — no corpus shuffle for the final projection
+    val po = planExec(Queries.q51SemDedup(spark, dir))
+    assert(po.contains("BroadcastHashJoin"),
+      "group labels must broadcast into the assignment")
+  }
+
   test("q03/q05: dimension joins are broadcast, not shuffled") {
     assert(plan(Queries.q03JoinAgg(spark, dir)).contains("BroadcastHashJoin"))
     val p5 = plan(Queries.q05RegionRollup(spark, dir))
