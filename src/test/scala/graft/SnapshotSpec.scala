@@ -155,6 +155,47 @@ class SnapshotSpec extends SparkSpec {
     assert(l.readLatest(spark).select("host_bucket").distinct().count() === 8)
   }
 
+  test("mixed append+delete race: serialized ids, final state = replay in landed order") {
+    import spark.implicits._
+    val root = tmp()
+    // pre-write the data for 4 appends (ids never overlapping the keys)
+    (0 until 4).foreach(b => writeEpoch(root, b, b, (b * 100 + 1) to (b * 100 + 6)))
+    val l = log(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val delKeys = Seq(Seq(2, 103, 205), Seq(104, 301))
+    val appends = (0 until 4).map { b =>
+      Future { gate.await()
+        (s"append:$b", l.commit(s"append-epoch-$b", Seq(s"host_bucket=$b/crawl_epoch=$b"))) }
+    }
+    val deletes = delKeys.zipWithIndex.map { case (keys, i) =>
+      Future { gate.await()
+        (s"delete:$i", l.commitDeletes(spark, keys.toDF("id"))) }
+    }
+    gate.countDown()
+    val landed = (appends ++ deletes).map(Await.result(_, 120.seconds))
+    // the claim step serialized all six committers onto distinct ids
+    assert(landed.map(_._2).toSet === (0L to 5L).toSet)
+    (0L to 5L).foreach(id => l.manifest(id)) // no torn manifests
+    // replay the six ops IN LANDED-ID ORDER against the model: a delete
+    // applies only to rows inserted by earlier-landed appends
+    var model = Vector.empty[(Int, Long)] // (id value, insertSeq)
+    landed.sortBy(_._2).foreach { case (op, snapId) =>
+      if (op.startsWith("append:")) {
+        val b = op.stripPrefix("append:").toInt
+        model ++= ((b * 100 + 1) to (b * 100 + 6)).map((_, snapId))
+      } else {
+        val keys = delKeys(op.stripPrefix("delete:").toInt).toSet
+        model = model.filterNot { case (v, seq) => keys.contains(v) && seq < snapId }
+      }
+    }
+    val got = l.readLatest(spark).select("id").as[Int].collect().sorted.toSeq
+    assert(got === model.map(_._1).sorted,
+      s"head must equal the landed-order replay (${landed.sortBy(_._2)})")
+  }
+
   test("uncommitted data files are invisible to snapshot readers") {
     val root = tmp()
     val l = log(root)
