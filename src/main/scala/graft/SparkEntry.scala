@@ -68,6 +68,7 @@ object SparkEntry {
     "q49_temperature_mix" -> (Queries.q49TemperatureMix _),
     "q50_training_assembly" -> (Queries.q50TrainingAssembly _),
     "q51_semdedup" -> (Queries.q51SemDedup _),
+    "q52_dsir_selection" -> (Queries.q52DsirSelection _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -802,6 +802,39 @@ object OracleSql {
     // SemDeDup: the whole pipeline replicated — Spark-exact xxhash64
     // centroid pick, double-cosine argmax assignment, within-cluster
     // pairs, recursive-CTE components (see [[SemOracleSql]])
-    "q51_semdedup" -> SemOracleSql.q51Sql
+    "q51_semdedup" -> SemOracleSql.q51Sql,
+
+    // DSIR importance weights: string uni+bigram features on the oracle
+    // side vs xxhash64'd features on the Spark side (the q39/q42
+    // hash≡string pairing), identical add-1 smoothing and ln ratio;
+    // BIGINT/BIGINT divides to DOUBLE in both engines; ×10⁴ floor
+    // half-up (q45 convention). The Spark side's Zipf head/tail split is
+    // a pure execution strategy — row-for-row it is this plain join.
+    "q52_dsir_selection" -> """
+      WITH toksarr AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, doc_id % 17 = 3 AS tgt, unnest(t) AS g FROM toksarr
+        UNION ALL
+        SELECT doc_id, doc_id % 17 = 3 AS tgt,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toksarr),
+      cnt AS (
+        SELECT g,
+               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM g GROUP BY g),
+      tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS t_, CAST(sum(cr) AS BIGINT) AS r_,
+               count(*) AS v_
+        FROM cnt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(floor(avg(ln((ct + 1) / (t_ + v_)) - ln((cr + 1) / (r_ + v_))) * 10000 + 0.5) AS BIGINT) AS dsir_e4
+      FROM g JOIN cnt USING (g) CROSS JOIN tot
+      WHERE NOT tgt
+      GROUP BY doc_id
+      ORDER BY doc_id"""
   )
 }

@@ -684,6 +684,64 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** q52: DSIR-shape data SELECTION — per-document importance weights
+    * under the published hashed-n-gram bag-of-features method (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): fit two add-1-smoothed feature LMs — the TARGET
+    * domain (the deterministic doc_id % 17 == 3 slice, q42's benchmark
+    * convention) and the RAW pool (everything else) — over unigram +
+    * word-bigram features WITH multiplicity, then score every raw doc by
+    * its average per-occurrence log-likelihood ratio
+    * ln p_target(f) − ln p_raw(f). High scores = target-like docs, the
+    * ones importance resampling keeps. Integer ×10⁴ output (q45's
+    * floor-half-up convention) so the gate never compares raw doubles.
+    *
+    * Scale shape, mirroring q45's Zipf split: feature counts are ONE
+    * hash-agg shuffle on the 8-byte gram hash (map-side combine; grams
+    * ride as xxhash64 ints, never strings — the oracle joins the gram
+    * STRINGS, the q39/q42 hash≡string pairing); the λ = log-ratio table
+    * is Zipf-headed, so the top-64k features resolve map-side via
+    * broadcast and only rare-gram occurrences shuffle; the final per-doc
+    * reduce moves slim (doc_id, λ) pairs. Nothing is ever all-pairs and
+    * the corpus text is scanned once. */
+  def q52DsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toksCol = filter(split(norm, " "), x => x =!= "")
+    val nBi = greatest(size(col("t")) - 1, lit(0))
+    // feature stream: unigrams + bigrams, multiplicity preserved (DSIR's
+    // bag model — the distinct-set wordNgramHashes expr can't count bags)
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"), toksCol.as("t"))
+      .withColumn("bi", zip_with(
+        slice(col("t"), lit(1), nBi), slice(col("t"), lit(2), nBi),
+        (a, b) => concat(a, lit(" "), b)))
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(17)) === 3).as("tgt"),
+        explode(concat(col("t"), col("bi"))).as("g"))
+      .select(col("doc_id"), col("tgt"), xxhash64(col("g")).as("ng"))
+    val cnt = feats.groupBy(col("ng")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("t_"), sum(col("cr")).as("r_"),
+      count(lit(1)).as("v_"))
+    val lam = cnt.crossJoin(broadcast(tot))
+      .select(col("ng"), (col("ct") + col("cr")).as("n_any"),
+        (log((col("ct") + 1) / (col("t_") + col("v_"))) -
+         log((col("cr") + 1) / (col("r_") + col("v_")))).as("lam"))
+    val raw = feats.filter(!col("tgt")).select(col("doc_id"), col("ng"))
+    val head = lam.orderBy(col("n_any").desc, col("ng")).limit(65536)
+      .select(col("ng"), col("lam"))
+    val headHit = raw.join(broadcast(head), Seq("ng"))
+    val tailHit = raw
+      .join(broadcast(head.select(col("ng"))), Seq("ng"), "left_anti")
+      .join(lam.select(col("ng"), col("lam")), Seq("ng"))
+    headHit.unionByName(tailHit)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_feats"),
+        floor(avg(col("lam")) * 10000 + 0.5).cast("bigint").as("dsir_e4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

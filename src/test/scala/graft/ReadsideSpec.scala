@@ -225,6 +225,39 @@ class ReadsideSpec extends SparkSpec {
     assert(split45 == naive)
   }
 
+  test("q52 DSIR weights equal a driver-side bag-of-features reimplementation") {
+    // independent local reimplementation straight from the published
+    // formula (string features, no hashing, no Zipf split): add-1
+    // smoothed target/raw LMs over uni+bigram bags, avg log ratio.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(text: String): Seq[String] = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val bags = docs.map { case (id, tx) => (id, id % 17 == 3, grams(tx)) }
+    val ct = new scala.collection.mutable.HashMap[String, Long]()
+    val cr = new scala.collection.mutable.HashMap[String, Long]()
+    bags.foreach { case (_, tgt, gs) =>
+      val m = if (tgt) ct else cr
+      gs.foreach(g => m.update(g, m.getOrElse(g, 0L) + 1L))
+    }
+    val vocab = (ct.keySet ++ cr.keySet)
+    val (tT, tR, v) = (ct.values.sum.toDouble, cr.values.sum.toDouble,
+      vocab.size.toDouble)
+    val expect = bags.filterNot(_._2).filter(_._3.nonEmpty).map { case (id, _, gs) =>
+      val lamSum = gs.map { g =>
+        math.log((ct.getOrElse(g, 0L) + 1) / (tT + v)) -
+          math.log((cr.getOrElse(g, 0L) + 1) / (tR + v))
+      }.sum
+      (id, gs.size.toLong,
+        math.floor(lamSum / gs.size * 10000 + 0.5).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q52_dsir_selection")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
