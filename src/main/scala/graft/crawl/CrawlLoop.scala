@@ -287,13 +287,20 @@ object CrawlLoop {
             Runtime.getRuntime.maxMemory()
           else {
             val perExec = conf.getSizeAsBytes("spark.executor.memory", "1g")
+            // executor count: explicit conf > the local-cluster master
+            // string (which conveys N and cores OUTSIDE the conf — the
+            // spark.executor.cores default of 1 would overcount executors
+            // by cores-per-executor there) > defaultParallelism / cores
+            val LocalCluster = """local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,[^\]]*\]""".r
             val execs =
               if (conf.contains("spark.executor.instances"))
                 math.max(1, conf.get("spark.executor.instances").toInt)
-              else {
-                val cores = math.max(1,
-                  conf.get("spark.executor.cores", "1").toInt)
-                math.max(1, spark.sparkContext.defaultParallelism / cores)
+              else master match {
+                case LocalCluster(n, _) => math.max(1, n.toInt)
+                case _ =>
+                  val cores = math.max(1,
+                    conf.get("spark.executor.cores", "1").toInt)
+                  math.max(1, spark.sparkContext.defaultParallelism / cores)
               }
             perExec * execs
           }
@@ -339,10 +346,21 @@ object CrawlLoop {
     // WRITE below are distributed end-to-end (at 10^10 seen keys the
     // segment set is ~12 GB — a per-epoch driver round-trip of it would
     // be the scale killer).
-    def segmentsDs(): Dataset[(Int, Array[Byte])] =
+    // lazy val + persist on the FALLBACK branch: the segment dataset has
+    // two consumers (the probe and the bloom write below), and a `def`
+    // would re-run the full-store rebuild once per consumer — the exact
+    // grows-with-crawl-age cost the persisted path exists to avoid. The
+    // common branch stays an unpersisted lazy O(1) parquet read.
+    var segsFallback: Option[Dataset[(Int, Array[Byte])]] = None
+    lazy val segmentsDs: Dataset[(Int, Array[Byte])] =
       loadSegmentsDs(spark, cfg, epoch - 1, expectedPerBucket)
-        .getOrElse(SeenSet.bloomSegments(seen, cfg.buckets,
-          expectedPerBucket, cfg.bloomFpp))
+        .getOrElse {
+          val rebuilt = SeenSet.bloomSegments(seen, cfg.buckets,
+            expectedPerBucket, cfg.bloomFpp)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          segsFallback = Some(rebuilt)
+          rebuilt
+        }
     val (unseen, seenCleanup): (Dataset[KeyedUrl], () => Unit) =
       if (cfg.forceUpdate || seen == null) (deduped, () => ())
       else if (cfg.useBloom) {
@@ -354,9 +372,9 @@ object CrawlLoop {
         // zero-cost estimator; past the threshold, the cogrouped two-tier
         // keeps everything distributed (same rows, graceful degradation).
         if (priorSeenFrac <= cfg.maxSeenFracForBroadcast)
-          SeenSet.unseenTwoTierBroadcast(deduped, seen, segmentsDs())
+          SeenSet.unseenTwoTierBroadcast(deduped, seen, segmentsDs)
         else
-          SeenSet.unseenTwoTier(deduped, seen, segmentsDs())
+          SeenSet.unseenTwoTier(deduped, seen, segmentsDs)
       } else (SeenSet.unseenExact(deduped, seen), () => ())
 
     // 4. fused host stage: robots admission + politeness rank + budget —
@@ -480,13 +498,20 @@ object CrawlLoop {
           col("url_hash"))
       val prevSegs: Dataset[(Int, Array[Byte])] =
         if (seen == null) spark.emptyDataset[(Int, Array[Byte])]
-        else segmentsDs()
+        else segmentsDs
+      // written at the cogroup's OWN parallelism: an earlier coalesce(1)
+      // folded back into the cogroup and ran the whole merge — every
+      // bucket's key-fill — as ONE task (~12 GB of serial segment work at
+      // 10^10 keys). The file count per segment dir is bounded by the
+      // shuffle parallelism and the dir itself is O(1) per crawl (the
+      // previous epoch's dir is dropped below), so there is no
+      // small-files growth to collapse.
       SeenSet.mergeDeltaIntoSegments(deltaKeys, prevSegs,
           expectedPerBucket, cfg.bloomFpp)
         .toDF("host_bucket", "bloom")
-        .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(bloomDir(cfg.workDir, epoch))
+      segsFallback.foreach(_.unpersist(blocking = false))
       val fsB = new Path(cfg.workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // sidecar meta: the segment set is only reusable under the SAME
       // bucketing (host_bucket = hash % buckets) — a changed cfg.buckets
@@ -680,12 +705,17 @@ object CrawlLoop {
     (0 until epochs).map(e => s"$workDir/seen/epoch=$e")
 
   /** Read the previous epoch's carry table (both queues — partition
-    * pruning makes per-queue reads equally cheap if a caller wants one). */
-  private def readCarried(spark: SparkSession, dir: String): Dataset[KeyedUrl] = {
+    * pruning makes per-queue reads equally cheap if a caller wants one).
+    * The schema is passed EXPLICITLY: an epoch with zero deferred and
+    * zero retry rows leaves a part-file-less dynamic-partition dir, and
+    * schema inference over that throws UNABLE_TO_INFER_SCHEMA where an
+    * empty carry must simply read back empty. */
+  private[graft] def readCarried(spark: SparkSession, dir: String): Dataset[KeyedUrl] = {
     import spark.implicits._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(dir)))
-      spark.read.parquet(dir)
+      spark.read.schema(implicitly[org.apache.spark.sql.Encoder[KeyedUrl]].schema)
+        .parquet(dir)
         .select("url_canon", "url_hash", "docid", "court", "host",
           "host_bucket", "path", "sitemap_seq", "entry_seq",
           "discovered_epoch", "lastmod")

@@ -46,6 +46,17 @@ object PayloadSink extends PayloadStore {
   def writePayload(results: Dataset[FetchResult], workDir: String, epoch: Int): Unit = {
     val spark = results.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    payloadFrame(results)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("host_bucket", "crawl_epoch")
+      .parquet(s"$workDir/payload")
+  }
+
+  /** The exact frame the payload write persists — exposed so a
+    * snapshot-logging store can record its read-back schema in the
+    * manifest (an all-reject epoch 0 writes zero files; without a
+    * recorded schema an empty-snapshot read has nothing to infer from). */
+  def payloadFrame(results: Dataset[FetchResult]): DataFrame =
     results.toDF()
       .select(col("image_id"), col("bytes"),
         coalesce(length(col("bytes")).cast("long"), lit(0L)).as("n_bytes"),
@@ -54,10 +65,6 @@ object PayloadSink extends PayloadStore {
         col("status"), col("psnr"), col("reject_reason"),
         col("mean_luma"), col("std_luma"), col("edge_energy"),
         col("host_bucket"), col("crawl_epoch"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("host_bucket", "crawl_epoch")
-      .parquet(s"$workDir/payload")
-  }
 
   /** Back-compat alias (epoch rides on the rows' crawl_epoch column). */
   def write(results: Dataset[FetchResult], workDir: String): Unit =

@@ -90,8 +90,12 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
         f.delete(tmp, false)
         true
       } catch {
+        // ONLY "target already exists" means we lost the id race; any
+        // other IO failure (permissions, read-only FS, disk full,
+        // cross-device metaDir) must propagate — mapping it to false
+        // would burn the full retry budget rebuilding manifests and then
+        // mask the real error as "lost 64 consecutive id races"
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
       }
     } else !f.exists(target) && f.rename(tmp, target)
   }
@@ -142,7 +146,8 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * that epoch's files), plus every data file found under the
     * `addedLeafDirs` (relative leaf partition dirs). Returns the new id. */
   def commit(op: String, addedLeafDirs: Seq[String],
-      replacedPartitions: Seq[String] = Seq.empty): Long = {
+      replacedPartitions: Seq[String] = Seq.empty,
+      schema: Option[StructType] = None): Long = {
     val f = fs
     val added = addedLeafDirs.flatMap { leaf =>
       val dir = new Path(root, leaf)
@@ -153,7 +158,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
         .map(s => DataFile(s"$leaf/${s.getPath.getName}", s.getLen))
     }
     commitFiles(op, added, replacedPartitions,
-      dropCarriedUnder = addedLeafDirs)
+      dropCarriedUnder = addedLeafDirs, schema = schema)
   }
 
   /** Commit with an EXPLICIT added-file list (the rewrite path: new and
@@ -270,9 +275,21 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     val m = manifest(id)
     val (dels, datas) = m.files.partition(_.isDelete)
     if (datas.isEmpty)
-      // degenerate: an empty snapshot of a table that has a schema on disk
+      // degenerate: an empty snapshot reads back as an empty frame under
+      // the recorded schema; a schema-less legacy manifest can still
+      // infer from files on disk, but a file-less root has nothing to
+      // infer from — surface the real story, not UNABLE_TO_INFER_SCHEMA
       m.schema.map(st => spark.read.schema(st).parquet(root).limit(0))
-        .getOrElse(spark.read.parquet(root).limit(0))
+        .getOrElse(
+          try spark.read.parquet(root).limit(0)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalStateException(
+                s"snapshot $id of $root is empty, records no schema, and " +
+                  "the table root holds no files to infer one from — " +
+                  "commit with an explicit schema to make empty snapshots " +
+                  "readable", e)
+          })
     else if (dels.isEmpty)
       dataReader(spark, m.schema)
         .parquet(datas.map(df => s"$root/${df.path}"): _*)
@@ -328,7 +345,7 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     * crawl epochs) reads instead of re-scanning the table. Unioning
     * `read(fromId)` with `changes(fromId, toId)` reproduces
     * `read(toId)` whenever no files were replaced in between (append-only
-    * history); replaced partitions are surfaced by the empty-intersection
+    * history); replaced partitions are surfaced by the dropped-files
     * check below rather than silently double-counted. */
   def changes(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
     require(fromId <= toId, s"changes($fromId, $toId): fromId must be <= toId")
@@ -347,6 +364,18 @@ class SnapshotLog(root: String, conf: Configuration) extends Serializable {
     }
     val to = manifest(toId)
     val before = manifest(fromId).files.map(_.path).toSet
+    // op names alone can't catch a REPLAYED epoch: a crash-resume that
+    // rewrites an already-consumed epoch commits another "append-epoch-N"
+    // whose dynamic overwrite DROPPED the old files. If anything present
+    // at fromId is gone by toId, "added files" no longer means "appended
+    // rows" — fail loudly instead of double-delivering the epoch.
+    val toPaths = to.files.map(_.path).toSet
+    val dropped = before -- toPaths
+    if (dropped.nonEmpty)
+      throw new IllegalStateException(
+        s"changes($fromId, $toId): ${dropped.size} file(s) present at " +
+          s"$fromId were replaced by $toId (e.g. ${dropped.head}) — the " +
+          "range contains a rewritten epoch; re-base with a full read")
     val added = to.files.filterNot(df => before.contains(df.path))
     if (added.isEmpty) read(spark, toId).limit(0)
     else dataReader(spark, to.schema)

@@ -30,8 +30,16 @@ class SnapshotPayloadSink(buckets: Int) extends PayloadStore {
       .map(b => s"host_bucket=$b/crawl_epoch=$epoch")
       .filter(l => fs.exists(new Path(s"$workDir/payload/$l")))
     // commit() itself supersedes carried entries under the added leaves,
-    // which is what makes a replayed epoch idempotent at the metadata level
-    log(workDir, spark).commit(s"append-epoch-$epoch", leaves)
+    // which is what makes a replayed epoch idempotent at the metadata level.
+    // The read-back schema (partition columns last, their original types)
+    // rides in the manifest so an all-reject epoch — zero data files —
+    // still reads back as a typed empty frame.
+    val base = PayloadSink.payloadFrame(results).schema
+    val parts = Seq("host_bucket", "crawl_epoch")
+    val readBack = org.apache.spark.sql.types.StructType(
+      base.filterNot(f => parts.contains(f.name)) ++ parts.map(base(_)))
+    log(workDir, spark).commit(s"append-epoch-$epoch", leaves,
+      schema = Some(readBack))
   }
 
   def writeLineage(l: Dataset[PartitionLineage], workDir: String, epoch: Int): Unit =

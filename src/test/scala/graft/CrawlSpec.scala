@@ -1139,4 +1139,24 @@ class CrawlSpec extends SparkSpec {
     assert(steady.last <= steady.head + 2,
       s"job count grew from ${steady.head} to ${steady.last}: $jobsPerEpoch")
   }
+
+  test("an all-scheduled no-failure epoch's EMPTY carry reads back empty (not UNABLE_TO_INFER_SCHEMA)") {
+    // zero deferred + zero retry rows -> the dynamic-partition carry write
+    // leaves a part-file-less dir; the next epoch's readCarried must see
+    // an empty queue, not a schema-inference crash
+    val dir = tmpDir() + "/carry/epoch=0"
+    val empty = spark.emptyDataset[KeyedUrl].toDF()
+      .withColumn("queue", lit("deferred"))
+      .filter(lit(false))
+    PayloadSink.writeCarry(empty, dir)
+    val back = CrawlLoop.readCarried(spark, dir)
+    assert(back.count() === 0)
+    // and a NON-empty carry still round-trips both queues
+    val row = KeyedUrl("https://h0.example.test/a", 1L, "KARE1", "BAG",
+      "h0.example.test", 0, "/a", 0L, 0L, 0,
+      new java.sql.Timestamp(0L))
+    val one = Seq(row).toDS().toDF().withColumn("queue", lit("retry"))
+    PayloadSink.writeCarry(one, dir)
+    assert(CrawlLoop.readCarried(spark, dir).collect().toSeq === Seq(row))
+  }
 }

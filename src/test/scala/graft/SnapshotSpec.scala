@@ -236,6 +236,41 @@ class SnapshotSpec extends SparkSpec {
     assert(l.changes(spark, s2, s2).columns === l.read(spark, s2).columns)
   }
 
+  test("changes() refuses a REPLAYED epoch in the range (op says append, files were replaced)") {
+    val root = tmp()
+    val l = log(root)
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0 = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    // crash-resume replays epoch 0: dynamic overwrite rewrites the leaf
+    // under NEW file names and commits another "append-epoch-0" — the op
+    // check alone would pass and silently double-deliver the epoch
+    writeEpoch(root, 0, 0, 1 to 10)
+    val s0b = l.commit("append-epoch-0", Seq("host_bucket=0/crawl_epoch=0"))
+    val e = intercept[IllegalStateException] { l.changes(spark, s0, s0b) }
+    assert(e.getMessage.contains("replaced"))
+    // a consumer that re-bases (full read) still sees exactly one copy
+    assert(l.read(spark, s0b).count() === 10)
+  }
+
+  test("an empty snapshot with a recorded schema reads back as a typed empty frame") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val l = log(root)
+    val st = StructType(Seq(StructField("id", IntegerType),
+      StructField("host_bucket", IntegerType),
+      StructField("crawl_epoch", IntegerType)))
+    // epoch 0 rejected everything: zero data files anywhere under root
+    val s0 = l.commit("append-epoch-0", Seq.empty, schema = Some(st))
+    val df = l.read(spark, s0)
+    assert(df.count() === 0)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "host_bucket", "crawl_epoch"))
+    // schema-less + file-less stays an ERROR, but a self-describing one
+    val l2 = log(tmp())
+    val s = l2.commit("append-epoch-0", Seq.empty)
+    val e = intercept[IllegalStateException] { l2.read(spark, s) }
+    assert(e.getMessage.contains("records no schema"))
+  }
+
   test("SnapshotTail: bootstrap + incremental polls sum to the table; crash before ack replays; rewrite surfaces as re-base") {
     val root = tmp()
     val l = log(root)
