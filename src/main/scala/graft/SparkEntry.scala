@@ -69,6 +69,7 @@ object SparkEntry {
     "q50_training_assembly" -> (Queries.q50TrainingAssembly _),
     "q51_semdedup" -> (Queries.q51SemDedup _),
     "q52_dsir_selection" -> (Queries.q52DsirSelection _),
+    "q53_host_rank" -> (Queries.q53HostRank _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

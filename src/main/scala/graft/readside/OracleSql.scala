@@ -835,6 +835,12 @@ object OracleSql {
       FROM g JOIN cnt USING (g) CROSS JOIN tot
       WHERE NOT tgt
       GROUP BY doc_id
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // Host-rank: the same fixed-point integer PageRank, 10 iterations
+    // unrolled as generated chained CTEs (see [[RankOracleSql]]) — every
+    // division integer, every association pinned, so the match is
+    // bit-exact with no float tolerance.
+    "q53_host_rank" -> RankOracleSql.q53Sql
   )
 }

@@ -742,6 +742,74 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q53: host-rank — weighted PageRank over a host-bucket link graph, the
+    * classic crawl-prioritization signal (the reference ranks hosts only by
+    * recency/politeness; a frontier at 10^10 URLs wants a global importance
+    * order too). Edges derive deterministically from `events`:
+    * src = user_id % 101, dst = (event_id*31+7) % 101, self-loops dropped,
+    * weight = occurrence count. K=10 power iterations, damping 0.85,
+    * dangling mass redistributed uniformly.
+    *
+    * FIXED-POINT arithmetic: ranks live as ×10¹² BIGINTs and every division
+    * is integer `div` with an explicitly pinned association —
+    * `((rank*85) div 100) * w div wsrc` per edge — so Spark and the DuckDB
+    * oracle agree BIT-FOR-BIT regardless of float summation order (the one
+    * failure mode an avg-of-doubles PageRank oracle can't close). Overflow
+    * headroom: rank ≤ ~1e12, w ≤ |events|, so the largest intermediate
+    * (share·w ≤ 8.5e17) sits well under 2^63.
+    *
+    * Scale shape: edge build is ONE shuffle on (src,dst) + a host-sized
+    * out-weight join, then the edge table is materialized once and persisted
+    * — every iteration reuses it and moves only the slim (node, rank) frame
+    * (at 10^8 hosts that is ~1.6 GB/round, vs re-shuffling the edge list
+    * which is O(host-pairs)). Each round is lineage-cut via scratch parquet
+    * (the [[connectedComponents]] discipline: `ranks` appears twice per
+    * round — contribution join + dangling anti-join — so an uncut plan
+    * doubles per round). The dangling term is a 1-row aggregate broadcast.
+    * Iteration count is a fixed literal, so all 10 round plans share one
+    * codegen shape. */
+  def q53HostRank(s: SparkSession, dir: String): DataFrame = {
+    val iters = 10
+    val total = 1000000000000L // rank mass, ×10¹² fixed point
+    val ev = t(s, dir, "events")
+      .select(pmod(col("user_id"), lit(101L)).as("src"),
+        pmod(col("event_id") * 31 + 7, lit(101L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val rawEdges = ev.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val outw = rawEdges.groupBy(col("src")).agg(sum(col("w")).as("wsrc"))
+    val edges = materialize(s, rawEdges.join(outw, Seq("src"))).persist()
+    val nodes = materialize(s, edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()).persist()
+    val n = nodes.count() // one scalar agg — the only driver value the loop needs
+    val base = (total * 15L) / (100L * n)
+    var ranks = materialize(s, nodes.withColumn("rank", lit(total / n)))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("((rank * 85) div 100) * w div wsrc").as("t_"))
+        .groupBy(col("node")).agg(sum(col("t_")).as("contrib"))
+      val dang = ranks
+        .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        .agg(coalesce(sum(expr("(rank * 85) div 100")), lit(0L)).as("dmass"))
+      ranks = materialize(s, nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr(s"dmass div CAST($n AS BIGINT)") +
+            coalesce(col("contrib"), lit(0L))).as("rank")))
+    }
+    val res = ranks
+      .join(edges.select(col("src").as("node"), col("wsrc")).distinct(),
+        Seq("node"), "left")
+      .select(col("node").as("host_bucket"),
+        coalesce(col("wsrc"), lit(0L)).as("w_out"),
+        col("rank").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("host_bucket"))
+    edges.unpersist(); nodes.unpersist()
+    res
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

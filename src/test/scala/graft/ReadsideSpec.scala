@@ -258,6 +258,42 @@ class ReadsideSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("q53 host-rank equals a driver-side fixed-point PageRank; mass is conserved") {
+    // independent local reimplementation: same edge derivation, same
+    // ×10¹² fixed-point power iteration with per-edge floor division
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect()
+    val edges = ev.map { case (u, e) => (u % 101, (e * 31 + 7) % 101) }
+      .filter { case (s0, d0) => s0 != d0 }
+      .groupBy(identity).map { case ((s0, d0), xs) => (s0, d0, xs.length.toLong) }
+      .toSeq
+    val wsrc = edges.groupBy(_._1).map { case (s0, es) => (s0, es.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val total = 1000000000000L
+    val base = total * 15L / (100L * n)
+    var rank = nodes.map(_ -> total / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s0, d0, w) =>
+        val t = rank(s0) * 85L / 100L * w / wsrc(s0)
+        contrib.update(d0, contrib.getOrElse(d0, 0L) + t)
+      }
+      val dmass = nodes.filterNot(wsrc.contains).map(rank(_) * 85L / 100L).sum
+      val spread = dmass / n
+      rank = nodes.map(nd => nd -> (base + spread + contrib.getOrElse(nd, 0L))).toMap
+    }
+    val expect = nodes.map(nd =>
+      (nd, wsrc.getOrElse(nd, 0L), rank(nd))).toSet
+    val got = SparkEntry.queries("q53_host_rank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // rank mass stays within the floor-loss bound: each of the 10 rounds
+    // loses < (#edges + #nodes + 2) units to truncation, never gains
+    val mass = rank.values.sum
+    assert(mass <= total && mass >= total - 10L * (edges.size + n + 2) * 100L)
+  }
+
   test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
