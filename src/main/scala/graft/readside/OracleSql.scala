@@ -841,6 +841,31 @@ object OracleSql {
     // unrolled as generated chained CTEs (see [[RankOracleSql]]) — every
     // division integer, every association pinned, so the match is
     // bit-exact with no float tolerance.
-    "q53_host_rank" -> RankOracleSql.q53Sql
+    "q53_host_rank" -> RankOracleSql.q53Sql,
+
+    // As-of join: the oracle is the NAIVE ranked range join (exact and
+    // affordable at oracle scale); the engine's union+carry-forward window
+    // must agree row-for-row, nulls included (orders with no event at or
+    // before their date).
+    "q54_asof_join" -> """
+      WITH probes AS (
+        SELECT event_id AS purchase_id, user_id AS uid, ts
+        FROM events WHERE event_type = 'purchase'),
+      builds AS (
+        SELECT event_id, event_type, user_id AS uid, ts
+        FROM events WHERE event_type IN ('click', 'view')),
+      ranked AS (
+        SELECT p.purchase_id, b.event_id, b.event_type, b.ts,
+               row_number() OVER (PARTITION BY p.purchase_id
+                 ORDER BY b.ts DESC, b.event_id DESC) AS rn
+        FROM probes p JOIN builds b ON b.uid = p.uid AND b.ts <= p.ts),
+      best AS (
+        SELECT purchase_id, event_id, event_type, ts FROM ranked WHERE rn = 1)
+      SELECT p.purchase_id, p.uid, p.ts AS purchase_ts,
+             b.event_id AS expo_event_id,
+             b.event_type AS expo_type,
+             b.ts AS expo_ts
+      FROM probes p LEFT JOIN best b ON p.purchase_id = b.purchase_id
+      ORDER BY p.purchase_id"""
   )
 }

@@ -810,6 +810,57 @@ object Queries {
     res
   }
 
+  /** q54: as-of join — attribution: for every `purchase` event, the latest
+    * exposure (`click`/`view`) by the same user at-or-before the purchase
+    * (`ts <=`, the inclusive ASOF convention), ties at equal ts broken by
+    * max event_id so the winner is unique. The classic temporal-alignment
+    * operator Spark has no built-in for (feature lookup "as of" a label
+    * time, point-in-time-correct training joins).
+    *
+    * Spark-first shape: NOT a range join (a `ts <=` theta join explodes to
+    * O(|probes|·|events-per-user|) intermediate rows and Catalyst can only
+    * BNLJ it). Instead both sides union into one frame tagged probe/build,
+    * ONE shuffle on the join key, and a carry-forward window
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding) resolves
+    * every probe in a single linear pass — build rows sort before probes
+    * at equal ts, which IS the inclusive semantics. Cost: one exchange +
+    * one per-key sort, independent of time-range density. At 100 TB the
+    * only hot spot is a pathological single key whose events exceed one
+    * task's spill budget; the fix is the q47 two-phase boundary-carry over
+    * range partitioning, not a different algorithm. The oracle is the
+    * naive ranked range join — exact, and affordable at oracle scale. */
+  def q54AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").as("uid"), col("ts"),
+        col("event_id"), col("event_type"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("uid"), col("ts"), lit(1).as("is_probe__"),
+        lit(null).cast("long").as("b_event_id"),
+        lit(null).cast("string").as("b_event_type"),
+        col("event_id").as("purchase_id"))
+    val builds = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("uid"), col("ts"), lit(0).as("is_probe__"),
+        col("event_id").as("b_event_id"),
+        col("event_type").as("b_event_type"),
+        lit(null).cast("long").as("purchase_id"))
+    // build-before-probe at equal ts (inclusive <=); among equal-ts builds
+    // ascending event_id makes last() the max — the unique tiebreak
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("ts"), col("is_probe__"), col("b_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    builds.unionByName(probes)
+      .withColumn("expo_event_id",
+        last(col("b_event_id"), ignoreNulls = true).over(w))
+      .withColumn("expo_type",
+        last(col("b_event_type"), ignoreNulls = true).over(w))
+      .withColumn("expo_ts",
+        last(when(col("is_probe__") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_probe__") === 1)
+      .select(col("purchase_id"), col("uid"), col("ts").as("purchase_ts"),
+        col("expo_event_id"), col("expo_type"), col("expo_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

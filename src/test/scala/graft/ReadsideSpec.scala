@@ -294,6 +294,38 @@ class ReadsideSpec extends SparkSpec {
     assert(mass <= total && mass >= total - 10L * (edges.size + n + 2) * 100L)
   }
 
+  test("q54 as-of join equals the naive range-join + rank reimplementation") {
+    // independent path: real range join (theta) + row_number, the shape
+    // the engine deliberately avoids — must produce identical rows,
+    // including purchases with NO exposure at-or-before them (null row)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val probes = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("uid"), $"ts")
+    val builds = ev.filter($"event_type".isin("click", "view"))
+      .select($"event_id", $"event_type", $"user_id".as("uid"), $"ts")
+    val ranked = probes.alias("p").join(builds.alias("b"),
+        col("b.uid") === col("p.uid") && col("b.ts") <= col("p.ts"))
+      .select(col("p.purchase_id"), col("b.event_id"), col("b.event_type"),
+        col("b.ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"purchase_id")
+          .orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"purchase_id", $"event_id".as("expo_event_id"),
+        $"event_type".as("expo_type"), $"ts".as("expo_ts"))
+    val naive = probes
+      .select($"purchase_id", $"uid", $"ts".as("purchase_ts"))
+      .join(ranked, Seq("purchase_id"), "left")
+    val got = SparkEntry.queries("q54_asof_join")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expect = naive.collect().map(_.toSeq).toSet
+    assert(got == expect)
+    // both branches are actually exercised: matched probes exist AND the
+    // row count is exactly the probe count (left semantics, no fan-out)
+    assert(got.size.toLong == probes.count())
+    assert(got.exists(_(3) != null))
+  }
+
   test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
