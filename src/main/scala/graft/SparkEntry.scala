@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_dsir_selection" -> (Queries.q52DsirSelection _),
     "q53_host_rank" -> (Queries.q53HostRank _),
     "q54_asof_join" -> (Queries.q54AsofJoin _),
+    "q55_sessionize" -> (Queries.q55Sessionize _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -866,6 +866,33 @@ object OracleSql {
              b.event_type AS expo_type,
              b.ts AS expo_ts
       FROM probes p LEFT JOIN best b ON p.purchase_id = b.purchase_id
-      ORDER BY p.purchase_id"""
+      ORDER BY p.purchase_id""",
+
+    // Sessionization: same exact-µs gap predicate (epoch_us ≡ Spark's
+    // unix_micros), same strict-> break, same (ts, event_id) in-session
+    // order — every output column integer or timestamp, no float.
+    "q55_sessionize" -> """
+      WITH e AS (
+        SELECT user_id AS uid, event_id, event_type, ts, epoch_us(ts) AS us
+        FROM events),
+      g AS (
+        SELECT *,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END
+                 AS is_new
+        FROM e WINDOW w AS (PARTITION BY uid ORDER BY ts, event_id)),
+      s AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY uid ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g)
+      SELECT uid, session_seq,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS start_ts,
+             max(ts) AS end_ts,
+             CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases
+      FROM s GROUP BY uid, session_seq
+      ORDER BY uid, session_seq"""
   )
 }

@@ -861,6 +861,45 @@ object Queries {
       .orderBy(col("purchase_id"))
   }
 
+  /** q55: sessionization — split each user's event stream into sessions at
+    * inactivity gaps > 24 h, then aggregate per session (event count,
+    * bounds, exact µs duration, purchase count). The canonical
+    * behavioral-log pipeline stage (and the batch twin of the streaming
+    * session windows in [[graft.streaming.EventStreams]]).
+    *
+    * Determinism: timestamps compare as exact µs BIGINTs (`unix_micros` /
+    * DuckDB `epoch_us` — no float epoch anywhere), the break predicate is
+    * strict `>`, and in-session order ties break on event_id. One shuffle
+    * total: the lag/running-sum windows and the (uid, session_seq)
+    * aggregation all cluster by uid — HashPartitioning(uid) satisfies the
+    * grouped distribution, so Catalyst plans a single exchange (spec-pinned
+    * for the analogous shapes in PlanSpec). At 100 TB that is the floor for
+    * gap sessionization: per-user order is inherently required. */
+  def q55Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 86400000000L // 24 h
+    val wOrd = Window.partitionBy(col("uid")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id").as("uid"), col("event_id"), col("event_type"),
+        // ts is TIMESTAMP_NTZ in the parquet; the session TZ is pinned UTC
+        // everywhere (tests/Verify/Bench), so the cast + unix_micros is the
+        // same integer DuckDB's epoch_us computes on the naive value
+        col("ts"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      .groupBy(col("uid"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .orderBy(col("uid"), col("session_seq"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

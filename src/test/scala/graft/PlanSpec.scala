@@ -83,6 +83,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "map-side partial agg expected")
   }
 
+  test("q55: sessionization is ONE uid exchange end-to-end (windows + session agg co-partition)") {
+    // executedPlan: the lag window, the running-sum window, and the
+    // (uid, session_seq) aggregation must all reuse the single uid
+    // hash partitioning — HashPartitioning(uid) satisfies the grouped
+    // distribution, so a second hash exchange means the co-partitioning
+    // broke (the final ORDER BY adds one rangepartitioning, allowed)
+    val p = planExec(Queries.q55Sessionize(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "gap windows and session aggregation must share one uid exchange")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "map-side partial agg expected on the session rollup")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

@@ -326,6 +326,45 @@ class ReadsideSpec extends SparkSpec {
     assert(got.exists(_(3) != null))
   }
 
+  test("q55 sessionization equals a driver-side gap-split reimplementation") {
+    val gapUs = 86400000000L
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[java.time.LocalDateTime](3)))
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val expect = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (micros(r._4), r._2))
+      var seq = 0L
+      var prevUs = Long.MinValue
+      val tagged = ordered.map { r =>
+        val us = micros(r._4)
+        if (prevUs == Long.MinValue || us - prevUs > gapUs) seq += 1
+        prevUs = us
+        (seq, r, us)
+      }
+      tagged.groupBy(_._1).map { case (sseq, srs) =>
+        val uss = srs.map(_._3)
+        (uid, sseq, srs.length.toLong,
+          srs.map(_._2._4).min, srs.map(_._2._4).max,
+          uss.max - uss.min,
+          srs.count(_._2._3 == "purchase").toLong)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q55_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[java.time.LocalDateTime](3), r.getAs[java.time.LocalDateTime](4),
+        r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == expect)
+    // sessions actually merge events (not one session per event) and
+    // split (not one session per user) at this threshold on this data
+    assert(got.size > ev.map(_._1).distinct.length)
+    assert(got.size < ev.length)
+  }
+
   test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
