@@ -78,6 +78,61 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("url_hash")
 
+  case class GapSessionState(seq: Long, prevUs: Long, n: Long,
+      startUs: Long, endUs: Long, purchases: Long)
+
+  case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
+      start_us: Long, end_us: Long, duration_us: Long, n_purchases: Long)
+
+  /** The streaming twin of [[graft.readside.Queries.q55Sessionize]]:
+    * >gapUs-inactivity session split with per-user keyed state, emitting a
+    * session the moment a later event CLOSES it (append semantics — each
+    * session is final when emitted, so downstream sinks never see
+    * retractions). The per-user open session rides in the state store
+    * across micro-batches; StreamingSpec proves emitted sessions ≡ the
+    * batch q55 rollup minus each user's still-open tail session, on the
+    * same events.
+    *
+    * Ordering contract: rows are sorted (ts, event_id) WITHIN each
+    * micro-batch group; cross-batch order must be non-decreasing per user
+    * (true for replay/backfill sources like AvailableNow over dated
+    * files). For genuinely out-of-order live streams the production shape
+    * adds a watermark + EventTimeTimeout and closes sessions on timeout
+    * instead of on the next event — same state transition, different
+    * close trigger (the NoTimeout choice here mirrors [[sessionize]]:
+    * processing-time timeouts schedule empty batches every trigger, which
+    * a shell-exec'd local state store makes pathologically slow in
+    * tests). */
+  def gapSessionize(events: Dataset[Event],
+      gapUs: Long = 86400000000L): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[GapSessionState]) => {
+          val ordered = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var st = state.getOption.orNull
+          ordered.foreach { e =>
+            val us = micros(e.ts)
+            val purchase = if (e.event_type == "purchase") 1L else 0L
+            if (st == null)
+              st = GapSessionState(1L, us, 1L, us, us, purchase)
+            else if (us - st.prevUs > gapUs) {
+              closed += ClosedSession(uid, st.seq, st.n, st.startUs, st.endUs,
+                st.endUs - st.startUs, st.purchases)
+              st = GapSessionState(st.seq + 1, us, 1L, us, us, purchase)
+            } else
+              st = GapSessionState(st.seq, us, st.n + 1, st.startUs,
+                math.max(st.endUs, us), st.purchases + purchase)
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

@@ -54,6 +54,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap sessionization stream ≡ batch q55 minus each user's open tail session") {
+    // the real events file as an AvailableNow stream: every session CLOSED
+    // by a later event must equal the batch rollup; each user's final
+    // session stays open in the state store and is correctly NOT emitted
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf("sf0.001")}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value")
+      .as[EventStreams.Event]
+    val q = EventStreams.gapSessionize(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("gap_sessions_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("gap_sessions_test")
+      .select($"user_id", $"session_seq", $"n_events", $"start_us",
+        $"end_us", $"duration_us", $"n_purchases")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val batch = SparkEntry.queries("q55_sessionize")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        us(r.getAs[java.time.LocalDateTime](3)),
+        us(r.getAs[java.time.LocalDateTime](4)), r.getLong(5), r.getLong(6)))
+    val lastSeq = batch.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+    val expect = batch.filterNot(s => lastSeq(s._1) == s._2).toSet
+    assert(streamed == expect)
+    assert(streamed.nonEmpty, "fixture must close at least one session")
+  }
+
+  test("gap sessionization closes sessions ACROSS micro-batches (state survives the trigger)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.gapSessionize(input.toDS(), gapUs = 1000000L).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("gap_xbatch_test")
+      .start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        EventStreams.Event(1, new java.sql.Timestamp(t0), 10L, "view", 1.0),
+        EventStreams.Event(2, new java.sql.Timestamp(t0 + 500), 10L, "purchase", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("gap_xbatch_test").count() == 0, "session still open")
+      // batch 2: 10 s later — closes the session carried in state
+      input.addData(
+        EventStreams.Event(3, new java.sql.Timestamp(t0 + 10000), 10L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("gap_xbatch_test")
+        .select($"user_id", $"session_seq", $"n_events", $"duration_us", $"n_purchases")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.toSeq == Seq((10L, 1L, 2L, 500000L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize with mapGroupsWithState over a rate-limited stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
