@@ -72,6 +72,9 @@ object SparkEntry {
     "q53_host_rank" -> (Queries.q53HostRank _),
     "q54_asof_join" -> (Queries.q54AsofJoin _),
     "q55_sessionize" -> (Queries.q55Sessionize _),
+    "q56_heavy_hitters" -> (Queries.q56HeavyHitters _),
+    "q57_group_quantiles" -> (Queries.q57GroupQuantiles _),
+    "q58_bottomk_sample" -> (Queries.q58BottomKSample _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

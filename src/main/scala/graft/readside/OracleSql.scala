@@ -893,6 +893,49 @@ object OracleSql {
              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                AS BIGINT) AS n_purchases
       FROM s GROUP BY uid, session_seq
-      ORDER BY uid, session_seq"""
+      ORDER BY uid, session_seq""",
+
+    // Heavy hitters: the engine's two-pass Misra–Gries result is EXACT
+    // (the sketch only prunes candidates), so the oracle is the plain
+    // relational form — same tokenization as q52, integer threshold
+    // (cnt·4096 > N, no division).
+    "q56_heavy_hitters" -> """
+      WITH toksarr AS (
+        SELECT list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+        FROM documents),
+      g AS (
+        SELECT unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toksarr),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM g)
+      SELECT g AS gram, CAST(count(*) AS BIGINT) AS cnt, n_total
+      FROM g CROSS JOIN tot
+      GROUP BY g, n_total
+      HAVING count(*) * 4096 > n_total
+      ORDER BY cnt DESC, gram""",
+
+    // Exact per-group disc quantiles: rank ⌈q·n⌉ computed in integer
+    // space on both engines ((num·n + den − 1) div den), so the match is
+    // value-exact with no interpolation.
+    "q57_group_quantiles" -> """
+      WITH d AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+             min(n_chars) AS min_chars,
+             max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+             max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99,
+             max(n_chars) AS max_chars
+      FROM d
+      GROUP BY source, n
+      ORDER BY source""",
+
+    // Bottom-k consistent sample: Spark-exact xxhash64(long) replicated in
+    // DuckDB (generated stage chain, see SemOracleSql).
+    "q58_bottomk_sample" -> SemOracleSql.q58Sql
   )
 }

@@ -900,6 +900,146 @@ object Queries {
       .orderBy(col("uid"), col("session_seq"))
   }
 
+  /** q56: HEAVY HITTERS — the exact set of word-trigrams with global
+    * count > N/φ (φ = 4096) over the corpus, found by the two-pass
+    * Misra–Gries protocol (Misra & Gries 1982; the merged-summary
+    * completeness bound is Agarwal et al. 2013, "Mergeable Summaries").
+    * The frequent-template finder of a training-data pipeline: boilerplate
+    * n-grams surface here before they skew dedup or contaminate eval sets.
+    *
+    * Why not a plain groupBy+HAVING (the oracle's shape): at 100 TB the
+    * trigram keyspace is ~corpus-sized, so the full hash-agg shuffles
+    * nearly every token in the corpus to find a handful of rows. The
+    * two-pass shape instead:
+    *   pass 1 — a NARROW mapPartitions MG sketch (k = φ−1 counters per
+    *     partition, amortized O(1)/item): any gram with partition count
+    *     > N_p/φ survives; since global freq > 1/φ forces partition freq
+    *     > 1/φ somewhere (a weighted average cannot exceed its max), the
+    *     union of survivors is a COMPLETE candidate set. Candidates are
+    *     bounded by k·P rows regardless of corpus size; each partition
+    *     also emits one sentinel row carrying its token count, so N needs
+    *     no extra scan.
+    *   pass 2 — broadcast the candidates back as a semi-join probe and
+    *     exact-count ONLY matching occurrences: the one shuffle moves a
+    *     keyspace of ≤ k·P grams, not the corpus.
+    * Output is exact (no sketch error in the result — the sketch only
+    * prunes), so the DuckDB oracle is the plain relational HAVING query.
+    * ReadsideSpec additionally forces heavy eviction (φ = 8) and pins
+    * equality with the brute-force pass. */
+  def q56HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(s, dir, 4096)
+
+  private[graft] def heavyHitters(s: SparkSession, dir: String, phi: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    require(phi >= 2, s"phi must be >= 2, got $phi")
+    val k = phi - 1
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toksCol = filter(split(norm, " "), x => x =!= "")
+    val nTri = greatest(size(col("t")) - 2, lit(0))
+    // trigrams via the q52 zip_with/slice pattern (empty-safe: slice with
+    // len 0 yields an empty array, so docs under 3 tokens emit nothing)
+    val tri = zip_with(
+      slice(col("t"), lit(1), nTri),
+      zip_with(slice(col("t"), lit(2), nTri), slice(col("t"), lit(3), nTri),
+        (a, b) => concat(a, lit(" "), b)),
+      (a, b) => concat(a, lit(" "), b))
+    // the corpus trigram stream — NARROW (explode never shuffles); built
+    // fresh per pass, the documented two scans of the corpus
+    def stream = t(s, dir, "documents")
+      .select(toksCol.as("t"))
+      .select(explode(tri).as("g"))
+    val sketch = materialize(s, stream.as[String].mapPartitions { it =>
+      // Misra–Gries with k counters: decrement-all on overflow. Each
+      // decrement round is O(k) but retires k+1 stream credits, so the
+      // whole pass is amortized O(1) per item and O(k) memory.
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { g =>
+        n += 1L
+        m.get(g) match {
+          case Some(c) => m.update(g, c + 1L)
+          case None if m.size < k => m.update(g, 1L)
+          case None =>
+            m.mapValuesInPlace((_, c) => c - 1L)
+            m.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      // survivors + one sentinel row (g = "", impossible for a real gram:
+      // tokens are non-empty by construction) carrying the partition count
+      m.iterator.map { case (g, c) => (g, c, false) } ++
+        Iterator(("", n, true))
+    }.toDF("g", "cnt", "sentinel"))
+    val cands = sketch.filter(!col("sentinel")).select(col("g")).distinct()
+    val nTot = sketch.filter(col("sentinel"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
+    stream.join(broadcast(cands), Seq("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nTot))
+      .filter(col("cnt") * phi > col("n_total"))
+      .select(col("g").as("gram"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  /** q57: per-group EXACT discrete quantiles (p50/p90/p99 of document
+    * length per source) — the corpus-distribution report every curation
+    * run reads before setting length/quality cut-offs (and the exact twin
+    * of the reference's storage-stats rollups, §2 A5).
+    *
+    * Exactness: the disc quantile at q is the element at ascending rank
+    * ⌈q·n⌉, computed in INTEGER space on both engines
+    * (⌈q·n⌉ = (num·n + den − 1) div den, never a float multiply) — so the
+    * oracle match is value-exact with no interpolation or tolerance.
+    * Spark's own `percentile_approx` is the sketch alternative; the gate
+    * needs exact, so the rank pass is explicit.
+    *
+    * Scale shape: ONE exchange total. Both window frames (ordered
+    * row_number, unordered count) and the final groupBy all cluster by
+    * `source` — HashPartitioning(source) satisfies every required
+    * distribution downstream (the groupBy key (source, n) is a superset),
+    * so Catalyst plans a single shuffle and the per-group rank streams
+    * through the in-partition sort. No collect_list: per-group state in
+    * the agg is O(1), so a 100 TB group never materializes in one task. */
+  def q57GroupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    def at(rankExpr: String) =
+      max(when(expr(s"rn = $rankExpr"), col("n_chars")))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        min(col("n_chars")).as("min_chars"),
+        at("(n + 1) div 2").as("p50"),
+        at("(9 * n + 9) div 10").as("p90"),
+        at("(99 * n + 99) div 100").as("p99"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("source"), col("n").as("n_docs"), col("min_chars"),
+        col("p50"), col("p90"), col("p99"), col("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** q58: consistent bottom-k sample — the 64 documents with the smallest
+    * `xxhash64(doc_id)` (signed compare, doc_id tiebreak). The mergeable
+    * uniform-sample sketch (Cohen & Kaplan 2007, bottom-k sketches): the
+    * SAME rows are drawn every run, every epoch, and on every subset that
+    * contains them, which is what makes cross-epoch eval panels and A/B
+    * slices comparable — `TABLESAMPLE`/`rand()` give none of that.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps a 64-row heap and only k·P candidate rows ever move;
+    * no global sort, no full shuffle. This is also the standalone gate for
+    * the primitive q51's centroid pick composes (hash-ranked top-k), and
+    * the oracle replicates Spark's xxhash64 bit-for-bit in DuckDB
+    * ([[SemOracleSql.q58Sql]]). */
+  def q58BottomKSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h64"))
+      .orderBy(col("h64"), col("doc_id"))
+      .limit(64)
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -65,11 +65,12 @@ private object SemOracleSql {
     s"""(list_dot_product($a, $b) /
           sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"""
 
-  val q51Sql: String = {
-    // Spark xxhash64(long, seed=42): XXH64 8-byte tail + avalanche
-    // (identical stage list to LshOracleSql's hashLong)
+  // Spark xxhash64(long, seed=42): XXH64 8-byte tail + avalanche
+  // (identical stage list to LshOracleSql's hashLong); input column "h",
+  // output column "hl"
+  private def hashLongStages: Seq[(String, String)] = {
     val hlBase = (BigInt(42) + P5 + 8) % M64
-    val hlStages = Seq(
+    Seq(
       "t1" -> mul64("h", P2),
       "t2" -> rotl("t1", 31),
       "t3" -> mul64("t2", P1),
@@ -81,7 +82,29 @@ private object SemOracleSql {
       "u3" -> xor64("u2", shr("u2", 29)),
       "u4" -> mul64("u3", P3),
       "hl" -> xor64("u4", shr("u4", 32)))
-    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hlStages, "sx")
+  }
+
+  /** q58's oracle: the SAME Spark-exact xxhash64(long) chain over doc_id,
+    * signed compare, bottom-64 — the standalone gate for the consistent-
+    * sample primitive q51's centroid pick already uses. */
+  val q58Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id"), hashLongStages, "sx")
+    s"""
+      WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
+      $hlCtes,
+      hsigned AS (
+        SELECT doc_id,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast)
+      SELECT doc_id, CAST(hs AS BIGINT) AS h64
+      FROM hsigned
+      ORDER BY hs, doc_id
+      LIMIT 64"""
+  }
+
+  val q51Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
     s"""
       WITH RECURSIVE
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpec {
       "map-side partial agg expected on the session rollup")
   }
 
+  test("q57: group quantiles are ONE source exchange end-to-end (windows + agg co-partition)") {
+    // both window frames and the (source, n) groupBy cluster by source —
+    // HashPartitioning(source) satisfies all of them, so a second hash
+    // exchange means the co-partitioning broke (the final ORDER BY adds
+    // one rangepartitioning, allowed)
+    val p = planExec(Queries.q57GroupQuantiles(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "rank windows and quantile aggregation must share one source exchange")
+  }
+
+  test("q58: bottom-k sample plans as TakeOrderedAndProject (no global sort)") {
+    val p = planExec(Queries.q58BottomKSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + merge, not a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range exchange means the limit degenerated to a full sort")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

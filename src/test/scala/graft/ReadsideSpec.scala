@@ -365,6 +365,77 @@ class ReadsideSpec extends SparkSpec {
     assert(got.size < ev.length)
   }
 
+  test("q56 heavy hitters equals the brute-force groupBy at phi=4096 and under forced eviction (phi=8)") {
+    // brute force: the full trigram hash-agg + threshold, no sketch
+    def brute(phi: Int): Set[(String, Long, Long)] = {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val toks = filter(split(norm, " "), x => x =!= "")
+      val nTri = greatest(size(col("t")) - 2, lit(0))
+      val tri = zip_with(
+        slice(col("t"), lit(1), nTri),
+        zip_with(slice(col("t"), lit(2), nTri), slice(col("t"), lit(3), nTri),
+          (a, b) => concat(a, lit(" "), b)),
+        (a, b) => concat(a, lit(" "), b))
+      val g = spark.read.parquet(s"$dir/documents.parquet")
+        .select(toks.as("t")).select(explode(tri).as("g"))
+      val n = g.count()
+      g.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * phi > n)
+        .collect().map(r => (r.getString(0), r.getLong(1), n)).toSet
+    }
+    val gated = SparkEntry.queries("q56_heavy_hitters")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gated == brute(4096))
+    // phi=8 → k=7 counters against thousands of distinct trigrams per
+    // partition: the MG decrement-all eviction runs constantly, yet the
+    // merged candidate set must stay complete and the confirm pass exact
+    val evicted = graft.readside.Queries.heavyHitters(spark, dir, 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(evicted == brute(8))
+  }
+
+  test("q57 group quantiles equal a driver-side sorted-rank reimplementation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length.toLong
+      def at(num: Long, den: Long): Long =
+        sorted(((num * n + den - 1) / den - 1).toInt) // rank is 1-based
+      (src, n, sorted.min, at(1, 2), at(9, 10), at(99, 100), sorted.max)
+    }.toSet
+    val got = SparkEntry.queries("q57_group_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect)
+  }
+
+  test("q58 bottom-k sample: selection is the global bottom-64 and is subset-consistent") {
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", xxhash64($"doc_id").as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    val expect = all.sorted.take(64).map { case (h, id) => (id, h) }.toSet
+    val got = SparkEntry.queries("q58_bottomk_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // consistency (the property rand()/TABLESAMPLE lacks): the sample of
+    // any SUBSET contains every full-sample row that subset retains
+    val sub = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", xxhash64($"doc_id").as("h64"))
+      .orderBy($"h64", $"doc_id").limit(64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = got.filter(_._1 % 2 == 0)
+    assert(kept.subsetOf(sub), "bottom-k must be consistent under subsetting")
+  }
+
+  test("q56 confirm pass broadcasts the candidate set (never shuffles the corpus stream to the join)") {
+    val plan = SparkEntry.queries("q56_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast confirm join:\n$plan")
+  }
+
   test("q46 inline-tf BM25 equals an exploded-token-stream reimplementation") {
     val terms = Seq("spark", "window", "vector")
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
