@@ -971,9 +971,19 @@ object Queries {
         Iterator(("", n, true))
     }.toDF("g", "cnt", "sentinel"))
     val cands = sketch.filter(!col("sentinel")).select(col("g")).distinct()
+    // COUNT-GATED broadcast (the Deletes.applyTombstones discipline): the
+    // candidate bound is k·P, which at φ=4096 × thousands of partitions
+    // can reach tens of millions of rows — an unconditional broadcast()
+    // hint would collect that to the driver. Counting the materialized
+    // sketch is one cheap job over a tiny parquet; above the cap the
+    // confirm falls back to a shuffle join, the scale-safe path.
+    val bcastCap = s.conf.getOption("graft.hh.broadcastCap")
+      .map(_.toLong).getOrElse(1000000L)
+    val candSide =
+      if (cands.count() <= bcastCap) broadcast(cands) else cands
     val nTot = sketch.filter(col("sentinel"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
-    stream.join(broadcast(cands), Seq("g"))
+    stream.join(candSide, Seq("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(nTot))
       .filter(col("cnt") * phi > col("n_total"))

@@ -394,6 +394,17 @@ class ReadsideSpec extends SparkSpec {
     assert(evicted == brute(8))
   }
 
+  test("q56 above the broadcast cap: shuffle-confirm fallback returns the identical result") {
+    val viaBroadcast = SparkEntry.queries("q56_heavy_hitters")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("graft.hh.broadcastCap", "1") // force the fallback
+    try {
+      val viaShuffle = SparkEntry.queries("q56_heavy_hitters")(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaShuffle == viaBroadcast)
+    } finally spark.conf.unset("graft.hh.broadcastCap")
+  }
+
   test("q57 group quantiles equal a driver-side sorted-rank reimplementation") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars").collect()
