@@ -75,6 +75,7 @@ object SparkEntry {
     "q56_heavy_hitters" -> (Queries.q56HeavyHitters _),
     "q57_group_quantiles" -> (Queries.q57GroupQuantiles _),
     "q58_bottomk_sample" -> (Queries.q58BottomKSample _),
+    "q59_holdout_split" -> (Queries.q59HoldoutSplit _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

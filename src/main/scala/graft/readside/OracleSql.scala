@@ -936,6 +936,10 @@ object OracleSql {
 
     // Bottom-k consistent sample: Spark-exact xxhash64(long) replicated in
     // DuckDB (generated stage chain, see SemOracleSql).
-    "q58_bottomk_sample" -> SemOracleSql.q58Sql
+    "q58_bottomk_sample" -> SemOracleSql.q58Sql,
+
+    // Deterministic holdout split: same generated xxhash64 chain +
+    // Spark-pmod bucketing.
+    "q59_holdout_split" -> SemOracleSql.q59Sql
   )
 }

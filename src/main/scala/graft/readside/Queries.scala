@@ -1050,6 +1050,27 @@ object Queries {
       .orderBy(col("h64"), col("doc_id"))
       .limit(64)
 
+  /** q59: deterministic holdout split — every document hash-bucketed into
+    * train/valid/test (90/5/5) by `pmod(xxhash64(doc_id), 100)`. The
+    * eval-split primitive: assignment is a PURE PER-ROW MAP (zero
+    * exchanges, no sampling state, no shuffle), so the split is identical
+    * on every run, every cluster size, and every subset of the corpus —
+    * a document can never migrate between train and test as the corpus
+    * grows, which is the property that keeps longitudinal evals honest
+    * (rand()-based splits leak). Oracle replicates Spark's xxhash64 +
+    * pmod bit-for-bit ([[SemOracleSql.q59Sql]]); spec pins subset
+    * stability and the 90/5/5 proportions. */
+  def q59HoldoutSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id")), lit(100)).as("bucket")
+    t(s, dir, "documents")
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -103,6 +103,27 @@ private object SemOracleSql {
       LIMIT 64"""
   }
 
+  /** q59's oracle: same xxhash64 chain, Spark-pmod bucket (((hs % 100) +
+    * 100) % 100 ≡ Spark's pmod on the signed value), CASE split label. */
+  val q59Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id"), hashLongStages, "sx")
+    s"""
+      WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
+      $hlCtes,
+      hsigned AS (
+        SELECT doc_id,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast)
+      SELECT doc_id,
+             CAST(((hs % 100) + 100) % 100 AS BIGINT) AS bucket,
+             CASE WHEN ((hs % 100) + 100) % 100 < 90 THEN 'train'
+                  WHEN ((hs % 100) + 100) % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM hsigned
+      ORDER BY doc_id"""
+  }
+
   val q51Sql: String = {
     val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
     s"""

@@ -441,6 +441,28 @@ class ReadsideSpec extends SparkSpec {
     assert(kept.subsetOf(sub), "bottom-k must be consistent under subsetting")
   }
 
+  test("q59 holdout split: covers every doc, ~90/5/5, and is stable under corpus subsetting") {
+    val got = SparkEntry.queries("q59_holdout_split")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.length.toLong == total)
+    got.foreach { case (_, b, s) =>
+      val expect = if (b < 90) "train" else if (b < 95) "valid" else "test"
+      assert(s == expect && b >= 0 && b < 100)
+    }
+    val frac = got.count(_._3 == "train").toDouble / got.length
+    assert(frac > 0.80 && frac < 0.97, s"train fraction $frac implausible for 90%")
+    // subset stability: the same doc gets the same split when the corpus
+    // shrinks (the property a rand()-based split lacks)
+    val sub = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id", pmod(xxhash64($"doc_id"), lit(100)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.filter(_._1 % 3 == 0).foreach { case (id, b, _) =>
+      assert(sub(id) == b, s"doc $id migrated buckets under subsetting")
+    }
+  }
+
   test("q56 confirm pass broadcasts the candidate set (never shuffles the corpus stream to the join)") {
     val plan = SparkEntry.queries("q56_heavy_hitters")(spark, dir)
       .queryExecution.executedPlan.toString
