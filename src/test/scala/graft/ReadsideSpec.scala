@@ -709,4 +709,35 @@ class ReadsideSpec extends SparkSpec {
       assert(rows.map(_._2).toSet.size === 1, s"group $rep spans clusters")
     }
   }
+
+  test("connectedComponents: count-gated union-find ≡ distributed loop (long + string keys)") {
+    import graft.readside.Queries
+    // long keys over a real edge feed (q41's LSH edges)
+    val edges = Queries.lshNearDupEdges(spark, dir).select($"id_a", $"id_b")
+    val gated = Queries.connectedComponents(spark, edges)
+      .as[(Long, Long, Long)].collect().toSet
+    val looped = Queries.connectedComponents(spark, edges, driverGate = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gated === looped)
+    assert(gated.nonEmpty)
+    // string keys (the c15 shape) with a chain whose min is NOT an endpoint
+    val sp = Seq(("b", "a"), ("c", "b"), ("x", "y"), ("zz", "x"))
+      .toDF("id_a", "id_b")
+    val g2 = Queries.connectedComponents(spark, sp)
+      .as[(String, String, Long)].collect().toSet
+    val l2 = Queries.connectedComponents(spark, sp, driverGate = 0L)
+      .as[(String, String, Long)].collect().toSet
+    assert(g2 === l2)
+    assert(g2 === Set(("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("x", "x", 3L), ("y", "x", 3L), ("zz", "x", 3L)))
+  }
+
+  test("q53 host-rank: gated broadcast iteration ≡ distributed shuffle loop, bit-for-bit") {
+    val fast = SparkEntry.queries("q53_host_rank")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val loop = graft.readside.Queries.hostRankOver(spark, dir, 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fast === loop)
+    assert(fast.nonEmpty)
+  }
 }
