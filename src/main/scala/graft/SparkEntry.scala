@@ -76,6 +76,8 @@ object SparkEntry {
     "q57_group_quantiles" -> (Queries.q57GroupQuantiles _),
     "q58_bottomk_sample" -> (Queries.q58BottomKSample _),
     "q59_holdout_split" -> (Queries.q59HoldoutSplit _),
+    "q60_containment_dedup" -> (Queries.q60ContainmentDedup _),
+    "q61_novelty_drift" -> (Queries.q61NoveltyDrift _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -940,6 +940,56 @@ object OracleSql {
 
     // Deterministic holdout split: same generated xxhash64 chain +
     // Spark-pmod bucketing.
-    "q59_holdout_split" -> SemOracleSql.q59Sql
+    "q59_holdout_split" -> SemOracleSql.q59Sql,
+
+    // containment dedup: the oracle is the exhaustive quadratic form —
+    // every doc pair's shared-trigram count over gram STRINGS (the
+    // engine's PPJoin prefix filter is a complete candidate generator, so
+    // the exact-confirmed output must equal the all-pairs computation)
+    "q60_containment_dedup" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' '))) END AS ngs
+        FROM toks),
+      g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM g GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM g a JOIN g b USING (ng)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b, s.n_a, c.n_common,
+             c.n_common * 10000 // s.n_a AS containment_x1e4
+      FROM common c JOIN sz s ON s.doc_id = c.id_a
+      WHERE s.n_a >= 8 AND c.n_common * 10 >= s.n_a * 9
+      ORDER BY c.id_a, c.id_b""",
+
+    "q61_novelty_drift" -> """
+      WITH w AS (SELECT max(doc_id) // 8 + 1 AS width FROM documents),
+      toks AS (
+        SELECT doc_id // (SELECT width FROM w) AS slice,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT slice,
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' '))) END AS ngs
+        FROM toks),
+      g AS (SELECT DISTINCT slice, unnest(ngs) AS ng FROM grams),
+      fe AS (SELECT ng, min(slice) AS first_slice FROM g GROUP BY ng)
+      SELECT g.slice, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN fe.first_slice = g.slice THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN fe.first_slice = g.slice THEN 1 ELSE 0 END) AS BIGINT) * 10000
+               // CAST(count(*) AS BIGINT) AS novelty_x1e4
+      FROM g JOIN fe USING (ng)
+      GROUP BY g.slice
+      ORDER BY g.slice"""
   )
 }

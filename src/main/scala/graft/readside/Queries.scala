@@ -1167,6 +1167,93 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q60: CONTAINMENT dedup — the asymmetric member of the dedup family
+    * (q24 exact, q26 simhash, q27 minhash-Jaccard, q51 embedding):
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| over distinct word
+    * trigrams; A with C ≥ 0.9 is (near-)subsumed by B — the quote/
+    * excerpt/superset case symmetric Jaccard misses (a short doc fully
+    * quoted inside a long one has low Jaccard but containment 1.0).
+    * Thresholds all-integer: flag = 10·common ≥ 9·n_a, n_a ≥ 8 grams.
+    *
+    * Scale shape — PPJOIN-STYLE PREFIX FILTERING (Xiao et al., WWW'08),
+    * never all-pairs: grams within each doc are ranked by global
+    * (document-frequency, gram) ascending; any B containing ≥0.9 of A
+    * must share a gram with A's (n_a − ⌈0.9·n_a⌉ + 1)-element RAREST
+    * prefix (pigeonhole — miss the whole prefix and at most ⌈0.9·n_a⌉−1
+    * grams remain), so candidate generation joins only prefix grams
+    * against the inverted index: frequent grams almost never rank into a
+    * prefix, so posting-list blowup is structurally avoided rather than
+    * df-capped (capping would break completeness). Candidates then
+    * exact-confirm by counting shared grams — candidate-bounded work.
+    * Grams ride as 64-bit FNV hashes (one text scan, native expr); the
+    * oracle counts the same trigrams as STRINGS (the q39/q42 hash≡string
+    * pairing). */
+  def q60ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val grams = materialize(s, t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g")))
+      .persist()
+    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // prefix length for t = 0.9: n_a − ceil(0.9·n_a) + 1, all-integer
+    val ranked = grams.join(gdf, Seq("g"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .join(sz, Seq("doc_id"))
+      .filter(col("n_a") >= 8)
+    val prefix = ranked
+      .filter(col("rn") <= col("n_a") - expr("(9 * n_a + 9) div 10") + 1)
+      .select(col("doc_id").as("id_a"), col("g"))
+    val cand = prefix
+      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact confirm: candidate-bounded — expand A's grams onto the pair,
+    // then count matches against B's gram set
+    val common = cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sz.select(col("doc_id").as("id_a"), col("n_a")), Seq("id_a"))
+      .filter(col("n_common") * 10 >= col("n_a") * 9)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_common"),
+        expr("n_common * 10000 div n_a").as("containment_x1e4"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q61: corpus NOVELTY drift — per deterministic corpus slice ("epoch":
+    * 8 contiguous doc_id ranges), the fraction of its distinct word
+    * trigrams never seen in an earlier slice. The standard
+    * crawl-freshness / dataset-drift monitor: novelty collapsing toward 0
+    * means the frontier is re-fetching what the corpus already holds;
+    * a spike flags a domain shift entering the training mix.
+    *
+    * Scale shape: ONE wide shuffle — (gram, slice) pairs group on the
+    * 8-byte gram hash with map-side partial aggregation (min(slice) +
+    * slice set ≤ 8 entries per gram), then an 8-row final agg; the corpus
+    * text is scanned once and never re-shuffled. */
+  def q61NoveltyDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / 8 + 1 // 8 contiguous slices, integer-exact
+    val perGram = docs
+      .select(expr(s"doc_id div $width").as("slice"),
+        explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("slice")).as("first_slice"),
+        collect_set(col("slice")).as("slices"))
+    perGram
+      .select(col("first_slice"), explode(col("slices")).as("slice"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_slice") === col("slice"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("slice"), col("n_grams"), col("n_new"),
+        expr("n_new * 10000 div n_grams").as("novelty_x1e4"))
+      .orderBy(col("slice"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =
