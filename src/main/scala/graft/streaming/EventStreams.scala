@@ -133,6 +133,63 @@ object EventStreams {
         })
   }
 
+  case class MgState(grams: Map[String, Long], n: Long)
+  case class MgCandidates(shard: Int, version: Long, g: String, mg_count: Long)
+
+  /** q56's trigram tokenization in local Scala (lower → split on \s+ →
+    * drop empties → word trigrams). ASCII-equivalent to the SQL form;
+    * Locale.ROOT so the twin is machine-independent. */
+  def trigrams(text: String): Iterator[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").iterator.filter(_.nonEmpty).toArray
+    if (toks.length < 3) Iterator.empty
+    else toks.sliding(3).map(_.mkString(" "))
+  }
+
+  /** The streaming twin of [[graft.readside.Queries.q56HeavyHitters]]:
+    * SHARDED Misra–Gries over an unbounded document stream. Grams hash
+    * to one of `nShards` keyed states, so every occurrence of a gram
+    * lands in the same shard and each shard runs textbook MG (k
+    * counters, decrement-all on overflow) over its complete sub-stream —
+    * resuming MG from state across micro-batches IS MG over the
+    * concatenated stream, so the batch guarantee carries over unchanged:
+    * after any prefix, a gram with true shard-count > n_shard/(k+1) is
+    * present, and a present gram's counter is within [true −
+    * ⌊n_shard/(k+1)⌋, true]. Candidates from the stream feed the same
+    * count-gated exact-confirm pass the batch q56 runs.
+    *
+    * Each batch emits the shard's full candidate set stamped with the
+    * monotone `version` = grams seen by that shard, so a consumer (and
+    * the spec) reads "current candidates" as the max-version rows per
+    * shard. Scale shape: state is O(k) per shard and nShards scales with
+    * the cluster's state-store partitions; the gram stream never
+    * shuffles anywhere else. */
+  def streamingHeavyHitters(docs: Dataset[String], k: Int = 255,
+      nShards: Int = 8): Dataset[MgCandidates] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(trigrams _)
+      .groupByKey(g => math.floorMod(g.hashCode, nShards))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[String], state: GroupState[MgState]) => {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          var n = 0L
+          state.getOption.foreach { st => m ++= st.grams; n = st.n }
+          rows.foreach { g =>
+            n += 1L
+            m.get(g) match {
+              case Some(c) => m.update(g, c + 1L)
+              case None if m.size < k => m.update(g, 1L)
+              case None =>
+                m.mapValuesInPlace((_, c) => c - 1L)
+                m.filterInPlace((_, c) => c > 0L)
+            }
+          }
+          state.update(MgState(m.toMap, n))
+          m.iterator.map { case (g, c) => MgCandidates(shard, n, g, c) }
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

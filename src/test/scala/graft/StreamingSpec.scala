@@ -143,4 +143,58 @@ class StreamingSpec extends SparkSpec {
       assert(snap2(10L) == 3)
     } finally q.stop()
   }
+
+  test("streaming sharded Misra–Gries: MG bound holds per shard across batches; heavy grams survive; tokenizer ≡ batch q56") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select($"text").as[String].collect()
+    // inject a known heavy trigram so the heavy-hitter branch is exercised
+    val texts = corpus ++ Array.fill(300)("zqx wvu tsr")
+    val k = 63; val nShards = 4
+    val input = MemoryStream[String]
+    val q = EventStreams.streamingHeavyHitters(input.toDS(), k, nShards)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("mg_test").start()
+    try {
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      val rows = spark.table("mg_test").as[EventStreams.MgCandidates].collect()
+      val finalCands: Map[Int, Map[String, Long]] =
+        rows.groupBy(_.shard).map { case (s, rs) =>
+          val vmax = rs.map(_.version).max
+          s -> rs.filter(_.version == vmax).map(r => r.g -> r.mg_count).toMap
+        }
+      // ground truth per shard with the same tokenizer
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      texts.foreach(t => EventStreams.trigrams(t)
+        .foreach(g => counts(g) = counts.getOrElse(g, 0L) + 1L))
+      val byShard = counts.toSeq
+        .groupBy { case (g, _) => math.floorMod(g.hashCode, nShards) }
+      byShard.foreach { case (s, cs) =>
+        val nS = cs.map(_._2).sum
+        val err = nS / (k + 1)
+        val cand = finalCands.getOrElse(s, Map.empty)
+        cs.foreach { case (g, c) =>
+          if (c > err)
+            assert(cand.contains(g), s"shard $s misses heavy gram '$g' ($c > $err)")
+          cand.get(g).foreach { mg =>
+            assert(mg <= c && mg >= c - err, s"'$g' mg=$mg true=$c err=$err") }
+        }
+        // no phantom candidates: every sketch entry is a real shard gram
+        val real = cs.map(_._1).toSet
+        cand.keys.foreach(g => assert(real.contains(g)))
+      }
+      // the injected gram is a true heavy hitter and must be a candidate
+      assert(counts("zqx wvu tsr") == 300L)
+      assert(finalCands.values.exists(_.contains("zqx wvu tsr")))
+      // tokenizer equivalence with the batch twin: q56's n_total over the
+      // SAME corpus equals the driver-side trigram count sans injection
+      val nBatch = graft.SparkEntry.queries("q56_heavy_hitters")(spark, sf("sf0.001"))
+        .select($"n_total").as[Long].head()
+      val nLocal = corpus.iterator.map(t => EventStreams.trigrams(t).size.toLong).sum
+      assert(nBatch == nLocal, s"tokenizer divergence: batch=$nBatch local=$nLocal")
+    } finally q.stop()
+  }
 }
