@@ -78,6 +78,8 @@ object SparkEntry {
     "q59_holdout_split" -> (Queries.q59HoldoutSplit _),
     "q60_containment_dedup" -> (Queries.q60ContainmentDedup _),
     "q61_novelty_drift" -> (Queries.q61NoveltyDrift _),
+    "q62_shard_shuffle" -> (Queries.q62ShardShuffle _),
+    "q63_incremental_dedup" -> (Queries.q63IncrementalDedup _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

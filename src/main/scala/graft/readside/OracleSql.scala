@@ -990,6 +990,15 @@ object OracleSql {
                // CAST(count(*) AS BIGINT) AS novelty_x1e4
       FROM g JOIN fe USING (ng)
       GROUP BY g.slice
-      ORDER BY g.slice"""
+      ORDER BY g.slice""",
+
+    // Salted deterministic global shuffle: generated two-argument xxhash64
+    // chain (value 2 seeded by hash 1) — see [[ShuffleOracleSql]].
+    "q62_shard_shuffle" -> ShuffleOracleSql.q62Sql,
+
+    // Incremental dedup vs the history slice: q59 bucket chain + verdict
+    // over raw text (the engine's fingerprint grouping) — see
+    // [[ShuffleOracleSql]].
+    "q63_incremental_dedup" -> ShuffleOracleSql.q63Sql
   )
 }

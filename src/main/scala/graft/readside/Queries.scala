@@ -1254,6 +1254,89 @@ object Queries {
       .orderBy(col("slice"))
   }
 
+  /** q62: deterministic SALTED GLOBAL SHUFFLE — the training-order
+    * primitive: every document gets a reproducible pseudo-random position
+    * inside one of `nShards` output shards, ordered by
+    * `xxhash64(doc_id, salt)`. Changing the salt (one per training run /
+    * epoch) yields an independent permutation of the SAME corpus, which is
+    * how a data pipeline re-shuffles between epochs without RNG state,
+    * sampling files, or any cross-run coordination — rerun it anywhere,
+    * same order (`rand()`/`repartition` give neither reproducibility nor
+    * subset auditability).
+    *
+    * Scale shape: a pure per-row hash map, then ONE exchange on the shard
+    * key; the per-shard rank streams inside the sorted window partition
+    * (no global sort — each task ranks its own shard). `nShards` is the
+    * scale knob: size it to corpus/target-shard-bytes so a window
+    * partition always fits one task (16 here; thousands at 100 TB).
+    * Oracle replicates Spark's two-argument xxhash64 — the second value
+    * hashed with the FIRST hash as its seed — bit-for-bit in staged
+    * HUGEINT SQL ([[ShuffleOracleSql.q62Sql]]). */
+  def q62ShardShuffle(s: SparkSession, dir: String): DataFrame =
+    shardShuffle(s, dir, salt = 7L, nShards = 16)
+
+  private[graft] def shardShuffle(s: SparkSession, dir: String, salt: Long,
+      nShards: Int): DataFrame = {
+    val h = xxhash64(col("doc_id"), lit(salt))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h64"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), h.as("h64"))
+      .withColumn("shard", pmod(col("h64"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** q63: INCREMENTAL dedup — the read-side twin of the crawl loop's
+    * URL-seen anti-join (J1), over content instead of URLs: an incoming
+    * corpus slice is deduped against the HISTORY fingerprint store without
+    * ever rescanning or reshuffling history text. History/incoming split
+    * is q59's deterministic hash bucket (buckets 0-89 = history, 90-99 =
+    * incoming — in production the store is the prior epochs' fingerprint
+    * table); verdict per incoming doc: `dup_history` (content already in
+    * the store), `dup_incoming` (a smaller-doc_id incoming copy exists —
+    * keep-first discipline, q24's), else `novel`.
+    *
+    * Scale shape: everything rides the 48-byte (xxhash64, md5) content
+    * fingerprint, q24's collision-proof key — text never shuffles. The
+    * incoming sliver is distinct-ed and COUNT-GATED (the q56 /
+    * Deletes.applyTombstones discipline): under the cap it broadcasts into
+    * a semi-join probe of the raw history fingerprint stream — history is
+    * scanned narrowly ONCE and never exchanged, the inverted-broadcast
+    * shape of `SeenSet` — and only the matched-fingerprint sliver
+    * (≤ |incoming| rows) flows back. Above the cap both joins fall back to
+    * fingerprint-key shuffles, the scale-safe path (spec pins the two
+    * paths bit-equal). */
+  def q63IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val fpCols = Seq(xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
+    val keys = Seq("h1__", "h2__")
+    val docs = t(s, dir, "documents")
+      .withColumn("bucket__", pmod(xxhash64(col("doc_id")), lit(100)))
+    val hist = docs.filter(col("bucket__") < 90)
+      .select(fpCols: _*) // raw fingerprint stream — no distinct: never shuffled
+    val inc = docs.filter(col("bucket__") >= 90)
+      .select(col("doc_id") +: fpCols: _*)
+    val incFps = inc.select(keys.map(col): _*).distinct()
+    val cap = s.conf.getOption("graft.incdedup.broadcastCap")
+      .map(_.toLong).getOrElse(1000000L)
+    val gated = incFps.count() <= cap // incoming epoch ≪ history, usually
+    val hits = (if (gated) hist.join(broadcast(incFps), keys, "leftsemi")
+                else hist.join(incFps, keys, "leftsemi"))
+      .distinct() // dedups the hit SLIVER (≤ |incoming| rows), not history
+      .withColumn("in_hist__", lit(true))
+    val first = inc.groupBy(keys.map(col): _*)
+      .agg(min(col("doc_id")).as("first_id__"))
+    inc
+      .join(if (gated) broadcast(hits) else hits, keys, "left")
+      .join(if (gated) broadcast(first) else first, keys)
+      .select(col("doc_id"),
+        when(col("in_hist__"), "dup_history")
+          .when(col("doc_id") > col("first_id__"), "dup_incoming")
+          .otherwise("novel").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -789,4 +789,83 @@ class ReadsideSpec extends SparkSpec {
     assert(fast === loop)
     assert(fast.nonEmpty)
   }
+
+  test("q62 shard shuffle: a permutation (dense 1..n per shard), matches a driver sort, salt changes order") {
+    val got = SparkEntry.queries("q62_shard_shuffle")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.length.toLong == total)
+    assert(got.map(_._1).distinct.length == got.length) // each doc exactly once
+    // positions are dense 1..count(shard) per shard
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length.toLong))
+    }
+    // matches a driver-side reimplementation over Spark's own hash values
+    val hashed = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", xxhash64($"doc_id", lit(7L)).as("h"))
+      .as[(Long, Long)].collect()
+    val expect = hashed.map { case (id, h) => (id, java.lang.Math.floorMod(h, 16L), h) }
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((id, s, _), i) => (id, s, i + 1L) }
+      }.toSet
+    assert(got.toSet == expect)
+    // a different salt is an independent permutation, same shape
+    val other = graft.readside.Queries.shardShuffle(spark, dir, salt = 8L, nShards = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(other.map(_._1).sorted == got.map(_._1).sorted)
+    assert(other.toSet != got.toSet, "salt change must permute the order")
+  }
+
+  test("q63 incremental dedup: verdicts match a driver reimplementation; gated ≡ shuffle path") {
+    val got = SparkEntry.queries("q63_incremental_dedup")(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    // driver reimplementation over raw text + Spark's own bucket hash
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", pmod(xxhash64($"doc_id"), lit(100)).as("b"))
+      .as[(Long, String, Long)].collect()
+    val histTexts = rows.filter(_._3 < 90).map(_._2).toSet
+    val inc = rows.filter(_._3 >= 90)
+    val firstId = inc.groupBy(_._2).map { case (t, rs) => (t, rs.map(_._1).min) }
+    val expect = inc.map { case (id, t, _) =>
+      val v = if (histTexts.contains(t)) "dup_history"
+              else if (id > firstId(t)) "dup_incoming"
+              else "novel"
+      (id, v)
+    }.sortBy(_._1).toSeq
+    assert(got == expect)
+    assert(got.exists(_._2 == "novel"), "fixture should contain novel docs")
+    // the count-gated broadcast path and the shuffle fallback agree
+    spark.conf.set("graft.incdedup.broadcastCap", "0") // force the fallback
+    try {
+      val viaShuffle = SparkEntry.queries("q63_incremental_dedup")(spark, dir)
+        .as[(Long, String)].collect().toSeq
+      assert(viaShuffle == got)
+    } finally spark.conf.unset("graft.incdedup.broadcastCap")
+  }
+
+  test("q63 incremental dedup: every verdict class fires on an engineered cross-bucket corpus") {
+    // the sf fixture has few cross-bucket duplicates, so engineer a corpus
+    // that exercises all three branches: pick real bucket assignments from
+    // Spark's own hash, then place duplicate texts across the split
+    val buckets = spark.range(1, 2001)
+      .select($"id", pmod(xxhash64($"id"), lit(100)).as("b"))
+      .as[(Long, Long)].collect()
+    val histIds = buckets.filter(_._2 < 90).map(_._1).take(2)
+    val incIds = buckets.filter(_._2 >= 90).map(_._1).sorted.take(4)
+    assert(histIds.length == 2 && incIds.length == 4)
+    val docs = Seq(
+      (histIds(0), "alpha text"), (histIds(1), "beta text"),
+      (incIds(0), "alpha text"), // dup_history
+      (incIds(1), "gamma text"), // novel (first copy)
+      (incIds(2), "gamma text"), // dup_incoming (later copy)
+      (incIds(3), "delta text")) // novel
+    val tmp = java.nio.file.Files.createTempDirectory("q63eng").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q63_incremental_dedup")(spark, tmp)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      incIds(0) -> "dup_history", incIds(1) -> "novel",
+      incIds(2) -> "dup_incoming", incIds(3) -> "novel"))
+  }
 }
