@@ -151,8 +151,8 @@ private object LshOracleSql {
   * Mirrors the Spark expression trees exactly (same aliases, same float
   * discipline, same total ORDER BY) so the driver's sorted-column value
   * hash matches. Queries without an entry here (the crawl pipeline's
-  * c-entries and the centroid-dependent q38) get the driver's rows-only
-  * check and are instead verified by ScalaTest properties.
+  * c-entries and the bloom-layout-dependent q36) get the driver's
+  * rows-only check and are instead verified by ScalaTest properties.
   */
 object OracleSql {
 
@@ -999,6 +999,11 @@ object OracleSql {
     // Incremental dedup vs the history slice: q59 bucket chain + verdict
     // over raw text (the engine's fingerprint grouping) — see
     // [[ShuffleOracleSql]].
-    "q63_incremental_dedup" -> ShuffleOracleSql.q63Sql
+    "q63_incremental_dedup" -> ShuffleOracleSql.q63Sql,
+
+    // IVF ANN: the q51 quantizer CTEs (hash-ranked centroids + argmax
+    // assignment) + nprobe = max(2, k/2) probe lists + q28's exact-rerank
+    // output contract — see [[SemOracleSql.q38Sql]].
+    "q38_ivf_ann" -> SemOracleSql.q38Sql
   )
 }

@@ -124,11 +124,13 @@ private object SemOracleSql {
       ORDER BY doc_id"""
   }
 
-  val q51Sql: String = {
+  /** Shared CTE prefix (q51 + q38): embeddings as DOUBLE[], k = the
+    * engine's max(4, min(4096, round(√n))), the hash-ranked centroid pick,
+    * and the argmax-cosine coarse assignment — exactly
+    * `Queries.coarseQuantize`. */
+  private def quantizerCtes: String = {
     val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
-    s"""
-      WITH RECURSIVE
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e),
       kk AS (SELECT greatest(CAST(4 AS BIGINT), least(CAST(4096 AS BIGINT),
                CAST(floor(sqrt(CAST(nd AS DOUBLE)) + 0.5) AS BIGINT))) AS k
@@ -153,7 +155,39 @@ private object SemOracleSql {
                  row_number() OVER (PARTITION BY x.vec_id
                    ORDER BY ${cosine("x.v", "c.cv")} DESC, c.cid ASC) AS rn
           FROM e x CROSS JOIN cent c)
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+  }
+
+  /** q38's oracle: the same quantizer, then the IVF probe — the
+    * nprobe = max(2, k/2) centroids nearest the query (cos DESC, cid
+    * tiebreak, the engine's `sortBy((-c, cid))`), exact cosine rerank of
+    * only their lists, top-10 (q28's output contract, list-restricted). */
+  val q38Sql: String = {
+    s"""
+      WITH
+      $quantizerCtes,
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+      probe AS (
+        SELECT cid FROM (
+          SELECT c.cid,
+                 row_number() OVER (ORDER BY ${cosine("c.cv", "q.qv")} DESC,
+                   c.cid ASC) AS rn
+          FROM cent c CROSS JOIN q)
+        WHERE rn <= (SELECT greatest(CAST(2 AS BIGINT), k // 2) FROM kk)),
+      scored AS (
+        SELECT a.vec_id, ${cosine("e2.v", "q.qv")} AS cos_raw
+        FROM assign a
+        JOIN probe p ON p.cid = a.cid
+        JOIN e e2 ON e2.vec_id = a.vec_id
+        CROSS JOIN q)
+      SELECT vec_id, round(cos_raw, 6) AS cos
+      FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10"""
+  }
+
+  val q51Sql: String = {
+    s"""
+      WITH RECURSIVE
+      $quantizerCtes,
       pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assign a JOIN assign b
