@@ -80,6 +80,7 @@ object SparkEntry {
     "q61_novelty_drift" -> (Queries.q61NoveltyDrift _),
     "q62_shard_shuffle" -> (Queries.q62ShardShuffle _),
     "q63_incremental_dedup" -> (Queries.q63IncrementalDedup _),
+    "q64_pii_scrub" -> (Queries.q64PiiScrub _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -1004,6 +1004,30 @@ object OracleSql {
     // IVF ANN: the q51 quantizer CTEs (hash-ranked centroids + argmax
     // assignment) + nprobe = max(2, k/2) probe lists + q28's exact-rerank
     // output contract — see [[SemOracleSql.q38Sql]].
-    "q38_ivf_ann" -> SemOracleSql.q38Sql
+    "q38_ivf_ann" -> SemOracleSql.q38Sql,
+
+    // PII redaction: identical RE2-safe patterns on both engines (that
+    // cross-dialect agreement is part of q64's contract); the body is
+    // rebuilt by concatenation (printf-free) and lpad replicates Spark's
+    // %07d for the in-range ids.
+    "q64_pii_scrub" -> """
+      WITH b AS (
+        SELECT doc_id,
+               'contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or +49 30 ' ||
+               lpad(CAST(doc_id AS VARCHAR), 7, '0') ||
+               ' office 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+               CAST((doc_id * 7) % 256 AS VARCHAR) ||
+               ' note: ' || substr(text, 1, 80) AS body
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(body, '\+[0-9]{1,3}[ 0-9]{6,14}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(body, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(body,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+[0-9]{1,3}[ 0-9]{6,14}', '[PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      FROM b ORDER BY doc_id"""
   )
 }

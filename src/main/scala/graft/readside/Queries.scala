@@ -1337,6 +1337,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q64: PII REDACTION — the scrub pass every training-data pipeline
+    * runs before text leaves curation: emails, international phone
+    * numbers, and IPv4 addresses are replaced by typed placeholders and
+    * counted per class (the counts feed the compliance report; the
+    * redacted text feeds packing). PII is INJECTED deterministically from
+    * doc_id (the q35 discipline — the fixture corpus has none) around a
+    * real text snippet, so every row exercises all three classes.
+    *
+    * Patterns are deliberately RE2-safe (no backreferences, no lookaround,
+    * only greedy quantifiers over character classes) so Java's regex and
+    * DuckDB's RE2 match identically — that cross-dialect determinism is
+    * itself part of the contract (a pattern that redacts differently on
+    * two engines is a compliance bug). Scale shape: a pure per-row map,
+    * zero exchanges before the output sort. */
+  def q64PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+[0-9]{1,3}[ 0-9]{6,14}"
+    val ipPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val body = format_string(
+      "contact user%d@example.com or +49 30 %07d office 10.0.%d.%d note: %s",
+      col("doc_id"), col("doc_id"), pmod(col("doc_id"), lit(256L)),
+      pmod(col("doc_id") * 7, lit(256L)), substring(col("text"), 1, 80))
+    t(s, dir, "documents")
+      .select(col("doc_id"), body.as("body"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("body"), lit(emailPat), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("body"), lit(phonePat), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("body"), lit(ipPat), lit(0)))
+          .cast("bigint").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("body"),
+          emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]")
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

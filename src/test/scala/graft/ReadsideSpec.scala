@@ -844,6 +844,30 @@ class ReadsideSpec extends SparkSpec {
     } finally spark.conf.unset("graft.incdedup.broadcastCap")
   }
 
+  test("q64 PII scrub: counts match a regex reimplementation; nothing matchable survives redaction") {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phonePat = "\\+[0-9]{1,3}[ 0-9]{6,14}".r
+    val ipPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b".r
+    val got = SparkEntry.queries("q64_pii_scrub")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length == texts.size)
+    got.foreach { case (id, ne, np, ni, red) =>
+      val body = s"contact user$id@example.com or +49 30 ${"%07d".format(id)} " +
+        s"office 10.0.${id % 256}.${id * 7 % 256} note: ${texts(id).take(80)}"
+      assert(ne == emailPat.findAllIn(body).length && ne >= 1)
+      assert(np == phonePat.findAllIn(body).length && np >= 1)
+      assert(ni == ipPat.findAllIn(body).length && ni >= 1)
+      // the redaction is complete: no pattern still matches the output
+      // (placeholders themselves contain no pattern-matchable characters)
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]") && red.contains("[IP]"))
+      assert(emailPat.findFirstIn(red).isEmpty, s"email survived in: $red")
+      assert(phonePat.findFirstIn(red).isEmpty, s"phone survived in: $red")
+      assert(ipPat.findFirstIn(red).isEmpty, s"ip survived in: $red")
+    }
+  }
+
   test("q63 incremental dedup: every verdict class fires on an engineered cross-bucket corpus") {
     // the sf fixture has few cross-bucket duplicates, so engineer a corpus
     // that exercises all three branches: pick real bucket assignments from
