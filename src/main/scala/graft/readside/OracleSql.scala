@@ -1007,18 +1007,19 @@ object OracleSql {
     "q38_ivf_ann" -> SemOracleSql.q38Sql,
 
     // PII redaction: identical RE2-safe patterns on both engines (that
-    // cross-dialect agreement is part of q64's contract); the body is
-    // rebuilt by concatenation (printf-free) and lpad replicates Spark's
-    // %07d for the in-range ids.
+    // cross-dialect agreement is part of q64's contract); printf('%07d')
+    // replicates Spark's format_string at ANY id width (lpad would
+    // truncate ids >= 10^7), and coalesce(text, '') pins the null case
+    // both sides.
     "q64_pii_scrub" -> """
       WITH b AS (
         SELECT doc_id,
                'contact user' || CAST(doc_id AS VARCHAR) ||
                '@example.com or +49 30 ' ||
-               lpad(CAST(doc_id AS VARCHAR), 7, '0') ||
+               printf('%07d', doc_id) ||
                ' office 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
                CAST((doc_id * 7) % 256 AS VARCHAR) ||
-               ' note: ' || substr(text, 1, 80) AS body
+               ' note: ' || substr(coalesce(text, ''), 1, 80) AS body
         FROM documents)
       SELECT doc_id,
              CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -1358,7 +1358,11 @@ object Queries {
     val body = format_string(
       "contact user%d@example.com or +49 30 %07d office 10.0.%d.%d note: %s",
       col("doc_id"), col("doc_id"), pmod(col("doc_id"), lit(256L)),
-      pmod(col("doc_id") * 7, lit(256L)), substring(col("text"), 1, 80))
+      pmod(col("doc_id") * 7, lit(256L)),
+      // coalesce: format_string renders a null %s as the literal "null",
+      // which DuckDB's || concatenation would instead propagate as NULL —
+      // pin the one place the two engines disagree on null handling
+      substring(coalesce(col("text"), lit("")), 1, 80))
     t(s, dir, "documents")
       .select(col("doc_id"), body.as("body"))
       .select(col("doc_id"),
