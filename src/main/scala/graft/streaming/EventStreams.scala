@@ -133,6 +133,57 @@ object EventStreams {
         })
   }
 
+  case class IncVerdict(doc_id: Long, verdict: String)
+
+  /** The streaming twin of [[graft.readside.Queries.q63IncrementalDedup]]:
+    * incoming documents arrive as a STREAM (the per-epoch delivery shape)
+    * while the history fingerprint store stays STATIC (the prior epochs'
+    * table). A stateless stream-static LEFT join marks stored
+    * fingerprints; per-fingerprint keyed state then assigns the batch
+    * q63's exact verdict classes ACROSS micro-batches: `dup_history` for
+    * every copy of a stored text, `novel` for the first arrival of an
+    * unseen fingerprint, `dup_incoming` for its re-presentations (state
+    * survives the trigger, so a copy arriving three batches later is
+    * still caught).
+    *
+    * Ordering contract (the [[gapSessionize]] discipline): rows sort by
+    * doc_id within each batch group and cross-batch arrival is
+    * non-decreasing per fingerprint — true for replay/backfill sources —
+    * which makes the verdicts identical to the batch keep-first-by-min-
+    * doc_id rule; StreamingSpec proves it against batch q63 on the same
+    * rows split across micro-batches.
+    *
+    * Scale shape: the join is stateless (history never enters the state
+    * store); keyed state is ONE boolean per distinct non-stored
+    * fingerprint seen, droppable with a freshness watermark exactly like
+    * [[streamingSeenDedupBounded]] when the stream is unbounded. */
+  def streamingIncrementalDedup(incoming: DataFrame,
+      historyFps: DataFrame): Dataset[IncVerdict] = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    incoming
+      .join(historyFps.withColumn("in_hist__", lit(true)),
+        Seq("h1__", "h2__"), "left")
+      .select(col("h1__"), col("h2__"), col("doc_id"),
+        coalesce(col("in_hist__"), lit(false)).as("in_hist__"))
+      .as[(Long, String, Long, Boolean)]
+      .groupByKey { case (h1, h2, _, _) => (h1, h2) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), rows: Iterator[(Long, String, Long, Boolean)],
+            state: GroupState[Boolean]) => {
+          val ordered = rows.toArray.sortBy(_._3)
+          var seen = state.getOption.getOrElse(false)
+          val out = ordered.map { case (_, _, id, inHist) =>
+            val v = if (inHist) "dup_history"
+            else if (seen) "dup_incoming"
+            else { seen = true; "novel" }
+            IncVerdict(id, v)
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
   case class MgState(grams: Map[String, Long], n: Long)
   case class MgCandidates(shard: Int, version: Long, g: String, mg_count: Long)
 

@@ -197,4 +197,44 @@ class StreamingSpec extends SparkSpec {
       assert(nBatch == nLocal, s"tokenizer divergence: batch=$nBatch local=$nLocal")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup ≡ batch q63 on the same rows split across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // engineered ids with REAL bucket assignments (the ReadsideSpec q63
+    // fixture), so batch q63 over the whole corpus is the ground truth
+    val buckets = spark.range(1, 2001)
+      .select($"id", pmod(xxhash64($"id"), lit(100)).as("b"))
+      .as[(Long, Long)].collect()
+    val histIds = buckets.filter(_._2 < 90).map(_._1).take(2)
+    val incIds = buckets.filter(_._2 >= 90).map(_._1).sorted.take(5)
+    val histDocs = Seq((histIds(0), "alpha text"), (histIds(1), "beta text"))
+    val batch1 = Seq((incIds(0), "alpha text"), (incIds(1), "gamma text"))
+    val batch2 = Seq((incIds(2), "gamma text"), // cross-batch dup_incoming
+      (incIds(3), "delta text"), (incIds(4), "alpha text"))
+    // batch ground truth: q63 over the union written as a documents table
+    val tmp = java.nio.file.Files.createTempDirectory("q63stream").toString
+    (histDocs ++ batch1 ++ batch2).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val expect = SparkEntry.queries("q63_incremental_dedup")(spark, tmp)
+      .as[(Long, String)].collect().toMap
+    // streaming run: history fps static, incoming as two micro-batches
+    val fp = (df: org.apache.spark.sql.DataFrame) => df.select($"doc_id",
+      xxhash64($"text").as("h1__"), md5($"text").as("h2__"))
+    val histFps = fp(histDocs.toDF("doc_id", "text")).select($"h1__", $"h2__")
+    val input = MemoryStream[(Long, String)]
+    val verdicts = EventStreams.streamingIncrementalDedup(
+      fp(input.toDS().toDF("doc_id", "text")), histFps)
+    val q = verdicts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("inc_dedup_test").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("inc_dedup_test")
+        .as[(Long, String)].collect().toMap
+      assert(got == expect, s"stream verdicts $got != batch $expect")
+      assert(got(incIds(2)) == "dup_incoming",
+        "the cross-batch duplicate must be caught by surviving state")
+    } finally q.stop()
+  }
 }
