@@ -109,6 +109,14 @@ object GraftExtensions {
           intLit(n, "graft_word_ngram_hashes64", "n"))
         case as        => arity("graft_word_ngram_hashes64", as.size, "1 or 2")
       }),
+    (FunctionIdentifier("graft_word_ngram_hash_seq"),
+      desc("graft_word_ngram_hash_seq", classOf[WordNgramHashSeqExpr],
+        "graft_word_ngram_hash_seq(text, n) - positional (all-occurrence) 64-bit hashes of word n-grams."),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => WordNgramHashSeqExpr(c,
+          intLit(n, "graft_word_ngram_hash_seq", "n"))
+        case as        => arity("graft_word_ngram_hash_seq", as.size, "2")
+      }),
     (FunctionIdentifier("graft_ngram_max_count"),
       desc("graft_ngram_max_count", classOf[NgramMaxCountExpr],
         "graft_ngram_max_count(text[, n]) - max occurrence count of any word n-gram (repetition signal; default n=2)."),

@@ -81,6 +81,7 @@ object SparkEntry {
     "q62_shard_shuffle" -> (Queries.q62ShardShuffle _),
     "q63_incremental_dedup" -> (Queries.q63IncrementalDedup _),
     "q64_pii_scrub" -> (Queries.q64PiiScrub _),
+    "q65_substr_dup_spans" -> (Queries.q65SubstringDupSpans _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -218,6 +218,48 @@ object ExprOps {
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** ALL word n-gram hashes of the normalized text in POSITIONAL order
+    * (index i = the gram starting at token i) — the positional sibling of
+    * [[wordNgramHashes]]: same normalization, same byte spans (n tokens
+    * including single separating spaces), same FNV-1a, but occurrences are
+    * KEPT (duplicates not collapsed) so `posexplode` recovers (position,
+    * gram) pairs. Fewer than n tokens (or empty text) → EMPTY array: a
+    * doc too short to hold one window contributes no spans to
+    * substring-duplication analysis (q65); whole-short-doc identity is
+    * exact dedup's job (q24). */
+  def wordNgramHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val lower = text.toLowerCase.getBytes
+    val buf = new Array[Byte](lower.length)
+    var m = 0
+    var i = 0
+    var inWs = true // leading ws dropped
+    while (i < lower.length) {
+      val b = lower(i)
+      if (isWs(b)) { if (!inWs && m > 0) { buf(m) = ' '; m += 1 }; inWs = true }
+      else { buf(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    if (m > 0 && buf(m - 1) == ' ') m -= 1 // trailing collapsed ws
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    i = 0
+    while (i < m) { if (buf(i) == ' ') starts += i + 1; i += 1 }
+    val nTok = if (m == 0) 0 else starts.length
+    if (nTok < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val nGrams = nTok - n + 1
+    val out = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = if (i + n < nTok) starts(i + n) - 1 else m
+      out(i) = fnv64(buf, from, until)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Max occurrence count of any word n-gram in the normalized text
     * (same tokenization as [[wordNgramHashes]]) — the Gopher/C4-style
     * repetition signal: a doc whose most common 2-gram covers a large

@@ -84,6 +84,22 @@ case class WordNgramHashes64Expr(child: Expression, n: Int)
   override def prettyName: String = "word_ngram_hashes64"
 }
 
+/** Positional word n-gram hashes (all occurrences, array index = token
+  * position of the gram start) — backs q65's ExactSubstr-style
+  * duplicated-span statistics; see [[ExprOps.wordNgramHashSeq]]. */
+case class WordNgramHashSeqExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.wordNgramHashSeq(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.wordNgramHashSeq($c, $n);")
+  override protected def withNewChildInternal(c: Expression): WordNgramHashSeqExpr =
+    copy(child = c)
+  override def prettyName: String = "word_ngram_hash_seq"
+}
+
 case class NgramMaxCountExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -166,6 +182,9 @@ object GraftFunctions {
 
   def wordNgramHashes(text: Column, n: Int = 3): Column =
     Bridge.column(WordNgramHashes64Expr(Bridge.expression(text), n))
+
+  def wordNgramHashSeq(text: Column, n: Int): Column =
+    Bridge.column(WordNgramHashSeqExpr(Bridge.expression(text), n))
 
   def ngramMaxCount(text: Column, n: Int = 2): Column =
     Bridge.column(NgramMaxCountExpr(Bridge.expression(text), n))

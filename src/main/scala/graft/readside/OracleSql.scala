@@ -1029,6 +1029,45 @@ object OracleSql {
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\+[0-9]{1,3}[ 0-9]{6,14}', '[PHONE]', 'g'),
                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted
-      FROM b ORDER BY doc_id"""
+      FROM b ORDER BY doc_id""",
+
+    // substring-duplication spans (ExactSubstr-for-fixed-L): string word
+    // 8-grams WITH positions on the oracle side vs positional FNV hashes
+    // on the Spark side (the q39/q42 hash≡string pairing — counts agree
+    // absent 64-bit collisions); the island merge is the same fold the
+    // engine runs (gap ≤ L chains, L per chain start, gap otherwise),
+    // expressed as a lag() gaps-and-islands window. n_tokens keeps q21's
+    // non-lowercased count contract; parallel unnest zips (pos, gram).
+    "q65_substr_dup_spans" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+               CASE WHEN text IS NULL OR trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - 6)) - 1 AS pos,
+               unnest(list_transform(range(1, len(t) - 6),
+                 i -> array_to_string(t[i:i+7], ' '))) AS ng
+        FROM toks WHERE len(t) >= 8),
+      dup AS (SELECT ng FROM g GROUP BY ng HAVING count(*) >= 2),
+      inc AS (
+        SELECT doc_id,
+               pos - lag(pos, 1, CAST(-16 AS BIGINT))
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        FROM g JOIN dup USING (ng)),
+      agg AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN gap <= 8 THEN gap ELSE 8 END) AS BIGINT) AS dup_tokens,
+               CAST(sum(CASE WHEN gap <= 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_spans
+        FROM inc GROUP BY doc_id)
+      SELECT k.doc_id, CAST(k.n_tokens AS BIGINT) AS n_tokens,
+             coalesce(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+             coalesce(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+             CAST(CASE WHEN k.n_tokens = 0 THEN 0
+                  ELSE coalesce(a.dup_tokens, 0) * 10000 // k.n_tokens END AS BIGINT) AS dup_frac_x1e4
+      FROM toks k LEFT JOIN agg a USING (doc_id)
+      ORDER BY k.doc_id"""
   )
 }

@@ -1378,6 +1378,72 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q65: SUBSTRING-duplication SPANS — the token-level member of the
+    * dedup family (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2021: ExactSubstr): a window of L=8
+    * consecutive tokens that occurs ≥2 times ANYWHERE in the corpus
+    * (another doc or the same one) marks its tokens duplicated; per doc,
+    * overlapping/adjacent duplicated windows merge into maximal spans
+    * (the units ExactSubstr cuts out) and the output is the per-doc span
+    * count, covered-token count, and integer coverage fraction. This
+    * catches what the whole-doc family can't: boilerplate headers,
+    * quoted rulings, and template paragraphs inside otherwise-novel
+    * documents (doc-level Jaccard stays low while 30% of the tokens are
+    * verbatim copies).
+    *
+    * Scale shape — the suffix-array build the paper uses is replaced by
+    * the equivalent-for-fixed-L relational form: ONE text scan computes
+    * positional gram hashes natively ([[GraftFunctions.wordNgramHashSeq]],
+    * codegen); only (doc_id, pos, 8-byte gram hash) rows ever shuffle
+    * (text never does). Duplicated grams come from a map-side-combined
+    * count on the hash; the position join back is a semi-join AQE
+    * broadcasts when the dup set is small (boilerplate-light corpora) and
+    * shuffles otherwise — no per-gram position lists are ever collected,
+    * so a pathological million-fold boilerplate gram costs its row count,
+    * not a collect. The span merge is per-row arithmetic over each doc's
+    * own sorted positions (`aggregate` over ≤n_tokens ints — strictly
+    * smaller than the doc's text, so it cannot be the row that breaks
+    * memory). Oracle: same grams as STRINGS + gaps-and-islands windows
+    * (the q39/q42 hash≡string pairing). */
+  def q65SubstringDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      when(col("text").isNull || trim(col("text")) === "", 0L)
+        .otherwise(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+          .cast("bigint")).as("n_tokens"))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.wordNgramHashSeq(col("text"), L))
+          .as(Seq("pos", "g")))
+    val dupG = occ.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("g"))
+    val dupPos = occ.join(dupG, Seq("g"), "leftsemi")
+    // per-doc island merge: windows [p, p+L-1] chain while the start gap
+    // ≤ L; covered tokens accumulate as (p - prev) inside a chain, L at
+    // each chain start — identical to the oracle's gaps-and-islands form
+    val merged = dupPos
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+              named_struct('cov', 0L, 'spans', 0L, 'prev', ${-2 * L}L),
+              (acc, p) -> named_struct(
+                'cov', acc.cov + IF(p - acc.prev <= $L, p - acc.prev, ${L}L),
+                'spans', acc.spans + IF(p - acc.prev <= $L, 0L, 1L),
+                'prev', CAST(p AS BIGINT)))""").as("st"))
+      .select(col("doc_id"), col("st.cov").as("dup_tokens"),
+        col("st.spans").as("n_spans"))
+    base.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac_x1e4",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("dup_tokens * 10000 div n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

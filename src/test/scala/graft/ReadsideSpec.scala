@@ -868,6 +868,59 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q65 substring-dup spans equal a driver-side reimplementation; an engineered copy is caught") {
+    // independent oracle: plain-Scala positional 8-grams (same
+    // normalization contract as q42's grams), corpus-wide occurrence
+    // counts, then the same gap≤L island fold the engine runs
+    val L = 8
+    def spans(occ: Seq[(Long, Long, String)], nTok: Map[Long, Long]): Map[Long, (Long, Long, Long, Long)] = {
+      val dup = occ.groupBy(_._3).filter(_._2.length >= 2).keySet
+      val byDoc = occ.filter(o => dup(o._3)).groupBy(_._1)
+      nTok.map { case (id, n) =>
+        val ps = byDoc.getOrElse(id, Nil).map(_._2).sorted
+        var prev = -2L * L; var cov = 0L; var nsp = 0L
+        ps.foreach { p =>
+          if (p - prev <= L) cov += p - prev else { cov += L; nsp += 1 }
+          prev = p
+        }
+        id -> ((n, cov, nsp, if (n == 0) 0L else cov * 10000 / n))
+      }
+    }
+    def occOf(docs: Seq[(Long, String)]): Seq[(Long, Long, String)] = docs.flatMap { case (id, tx) =>
+      val t = if (tx == null) Array.empty[String]
+              else tx.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length < L) Nil
+      else t.sliding(L).zipWithIndex.map { case (w, i) => (id, i.toLong, w.mkString(" ")) }.toSeq
+    }
+    def nTokOf(docs: Seq[(Long, String)]): Map[Long, Long] = docs.map { case (id, tx) =>
+      val t0 = if (tx == null) "" else tx.trim
+      id -> (if (t0.isEmpty) 0L else t0.split("\\s+").length.toLong)
+    }.toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val expect = spans(occOf(docs), nTokOf(docs))
+    val got = SparkEntry.queries("q65_substr_dup_spans")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expect,
+      s"mismatch on ${(expect.keySet.filter(k => got.get(k) != expect.get(k))).take(3)}")
+    // engineered sensitivity: a doc that quotes an 11-token run from
+    // another doc must show one span covering exactly 11 tokens (the
+    // merged maximal span of its 4 overlapping duplicated windows)
+    val quoted = "the court finds the appeal admissible and in part well founded"
+    val eng = Seq(
+      (1L, s"preamble words here $quoted and some closing remarks follow now"),
+      (2L, s"totally different opening statement mentions that $quoted before ending otherwise"))
+    val tmp = java.nio.file.Files.createTempDirectory("q65eng").toString
+    eng.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val e = SparkEntry.queries("q65_substr_dup_spans")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(e(1L)._4 == 1L && e(1L)._3 == 11L, s"doc1: ${e(1L)}")
+    assert(e(2L)._4 == 1L && e(2L)._3 == 11L, s"doc2: ${e(2L)}")
+    assert(spans(occOf(eng), nTokOf(eng)) ==
+      e.map { case (k, r) => k -> ((r._2, r._3, r._4, r._5)) })
+  }
+
   test("q63 incremental dedup: every verdict class fires on an engineered cross-bucket corpus") {
     // the sf fixture has few cross-bucket duplicates, so engineer a corpus
     // that exercises all three branches: pick real bucket assignments from
