@@ -82,6 +82,8 @@ object SparkEntry {
     "q63_incremental_dedup" -> (Queries.q63IncrementalDedup _),
     "q64_pii_scrub" -> (Queries.q64PiiScrub _),
     "q65_substr_dup_spans" -> (Queries.q65SubstringDupSpans _),
+    "q66_pmi_bigrams" -> (Queries.q66PmiBigrams _),
+    "q67_rate_anomaly" -> (Queries.q67RateAnomaly _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

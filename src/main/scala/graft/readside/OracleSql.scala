@@ -1068,6 +1068,72 @@ object OracleSql {
              CAST(CASE WHEN k.n_tokens = 0 THEN 0
                   ELSE coalesce(a.dup_tokens, 0) * 10000 // k.n_tokens END AS BIGINT) AS dup_frac_x1e4
       FROM toks k LEFT JOIN agg a USING (doc_id)
-      ORDER BY k.doc_id"""
+      ORDER BY k.doc_id""",
+
+    // PMI bigram collocations: adjacent pairs via zipped parallel unnest
+    // of the two shifted slices; the PMI double is composed in the SAME
+    // parenthesization as the Spark side ((n_ab·N·N) / (B·c_a·c_b)) so
+    // IEEE rounding agrees bit-for-bit, and the ×10⁴ half-up floor (q23
+    // convention) absorbs ULP noise. ORDER BY is total (pairs unique) so
+    // the LIMIT boundary is deterministic; lowercase-ASCII tokens keep
+    // string order collation-free.
+    "q66_pmi_bigrams" -> """
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS t
+        FROM documents),
+      pairs AS (
+        SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        FROM toks WHERE len(t) >= 2),
+      pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pairs GROUP BY a, b),
+      uc AS (SELECT unnest(t) AS w FROM toks),
+      cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY w),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM cnt),
+      nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_big FROM pc)
+      SELECT a, b, n_ab,
+             CAST(floor(ln(
+               (CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)) /
+               (CAST(n_big AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+             ) * 10000 + 0.5) AS BIGINT) AS pmi_x1e4
+      FROM pc JOIN cnt ca ON pc.a = ca.w JOIN cnt cb ON pc.b = cb.w
+      CROSS JOIN nt CROSS JOIN nb
+      WHERE n_ab >= 5
+      ORDER BY pmi_x1e4 DESC, a, b LIMIT 100""",
+
+    // rate-spike anomaly: dense hourly grid per type (generate_series),
+    // trailing-24-full-hours window stats as exact integers, z composed
+    // in the Spark side's exact parenthesization — ×, −, /, sqrt are all
+    // correctly-rounded IEEE ops, so the double (and its half-up ×10⁴
+    // floor) is bit-identical; zero-variance windows → NULL z with the
+    // any-arrival spike rule.
+    "q67_rate_anomaly" -> """
+      WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+      cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY event_type, h),
+      b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      grid AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM cnt) t CROSS JOIN b),
+      dense AS (
+        SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+        FROM grid g LEFT JOIN cnt c ON g.event_type = c.event_type AND g.h = c.h),
+      win AS (
+        SELECT event_type, h, CAST(n AS BIGINT) AS n,
+               count(*) OVER fr AS w, sum(n) OVER fr AS s, sum(n * n) OVER fr AS q
+        FROM dense
+        WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT event_type, h, n,
+               CAST(n AS DOUBLE) * CAST(w AS DOUBLE) - CAST(s AS DOUBLE) AS num,
+               CAST(w AS DOUBLE) * CAST(q AS DOUBLE) -
+                 CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS den2
+        FROM win WHERE w = 24)
+      SELECT event_type, h, n,
+             CASE WHEN den2 <= 0 THEN NULL
+                  ELSE CAST(floor(num / sqrt(den2) * 10000 + 0.5) AS BIGINT) END AS z_x1e4,
+             CASE WHEN den2 <= 0 THEN num > 0
+                  ELSE num / sqrt(den2) >= 3.0 END AS is_spike
+      FROM z ORDER BY event_type, h"""
   )
 }

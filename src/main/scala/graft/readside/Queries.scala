@@ -1444,6 +1444,102 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q66: PMI BIGRAM COLLOCATIONS — corpus-association statistics, the
+    * prep pass for tokenizer merges and collocation vocabularies: for
+    * every adjacent (ordered) token pair with support ≥ 5, pointwise
+    * mutual information ln(p(a,b) / (p(a)·p(b))) with p(a,b) over total
+    * bigrams and p(w) over total tokens; top-100 by PMI. High-PMI pairs
+    * are the multi-word units ("new york") a subword tokenizer should
+    * merge and a stopword-frequency filter would miss (both words can be
+    * rare while the pair is near-deterministic).
+    *
+    * Scale shape: pairs are a pure per-row higher-order transform over
+    * each doc's own token array (codegen, no self-join, no window) —
+    * exploded (a, b) rows shuffle ONCE with map-side combine; unigram
+    * counts are a second narrow scan (recompute-over-cache, the q45
+    * discipline — memory bandwidth is the measured ceiling); the two
+    * vocab-sized count joins AQE-broadcast at fixture scale and degrade
+    * to word-key shuffles beyond, never row-count-sized; the final
+    * top-100 is TakeOrderedAndProject (map-side heaps, no global sort).
+    * PMI doubles are composed in ONE parenthesization shared bit-for-bit
+    * with the DuckDB oracle, and the ×10⁴ half-up floor (q23 convention)
+    * absorbs ULP noise. */
+  def q66PmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = t(s, dir, "documents")
+      .select(filter(split(norm, " "), x => x =!= "").as("t"))
+    val pairs = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val nBig = pairCnt.agg(sum(col("n_ab")).as("n_big"))
+    pairCnt.filter(col("n_ab") >= 5)
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("n_ab"),
+        floor(log(
+          (col("n_ab").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")) /
+            (col("n_big").cast("double") * col("c_a").cast("double") * col("c_b").cast("double"))
+        ) * 10000 + 0.5).cast("bigint").as("pmi_x1e4"))
+      .orderBy(col("pmi_x1e4").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** q67: RATE-SPIKE ANOMALY over the event stream — the ops-side monitor
+    * a crawl/ingest pipeline runs continuously: per event type, hourly
+    * arrival counts on a DENSE hour grid (missing hours count 0 — a grid
+    * join, not just a groupBy, or silence hides the outage), each hour
+    * z-scored against its own trailing 24 full hours; z ≥ 3 flags a
+    * spike, a zero-variance trailing day flags any arrival.
+    *
+    * Scale shape: the ONLY row-count-sized work is the first hour×type
+    * hash aggregation (one shuffle, map-side combined); everything after
+    * runs on #hours × #types rows (8 760/year × a handful — thousands),
+    * so the per-type serial window is trivially small no matter the
+    * event volume. Cross-engine exactness: the window stats (w, Σn, Σn²)
+    * are BIGINT — associative, order-free — and the z-score is composed
+    * from them in ONE shared parenthesization of correctly-rounded IEEE
+    * ops (×, −, /, sqrt are all exactly rounded, unlike ln), so the
+    * double is bit-identical in DuckDB; ×10⁴ half-up floor as usual.
+    * Zero-variance windows emit NULL z rather than ±Inf. */
+  def q67RateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val cnt = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = cnt.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val dense = grid.join(cnt, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    val fr = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    dense
+      .withColumn("w", count(lit(1)).over(fr))
+      .withColumn("s", sum(col("n")).over(fr))
+      .withColumn("q", sum(col("n") * col("n")).over(fr))
+      .filter(col("w") === 24)
+      .withColumn("num",
+        col("n").cast("double") * col("w").cast("double") - col("s").cast("double"))
+      .withColumn("den2",
+        col("w").cast("double") * col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double"))
+      .select(col("event_type"), col("h"), col("n"),
+        when(col("den2") <= 0, lit(null))
+          .otherwise(floor(col("num") / sqrt(col("den2")) * 10000 + 0.5)
+            .cast("bigint")).as("z_x1e4"),
+        when(col("den2") <= 0, col("num") > 0)
+          .otherwise(col("num") / sqrt(col("den2")) >= 3.0).as("is_spike"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -921,6 +921,80 @@ class ReadsideSpec extends SparkSpec {
       e.map { case (k, r) => k -> ((r._2, r._3, r._4, r._5)) })
   }
 
+  test("q66 PMI bigrams equal a driver-side reimplementation (same double composition)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"text").as[String].collect()
+    val tokss = docs.map(tx => if (tx == null) Array.empty[String]
+      else tx.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    val uniCnt = scala.collection.mutable.Map.empty[String, Long]
+    tokss.foreach { t =>
+      t.foreach(w => uniCnt(w) = uniCnt.getOrElse(w, 0L) + 1)
+      if (t.length >= 2) t.sliding(2).foreach { p =>
+        val k = (p(0), p(1)); pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1
+      }
+    }
+    val nTok = uniCnt.values.sum
+    val nBig = pairCnt.values.sum
+    val expect = pairCnt.toSeq.filter(_._2 >= 5).map { case ((a, b), nab) =>
+      val pmi = math.log(
+        (nab.toDouble * nTok.toDouble * nTok.toDouble) /
+          (nBig.toDouble * uniCnt(a).toDouble * uniCnt(b).toDouble))
+      (a, b, nab, math.floor(pmi * 10000 + 0.5).toLong)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(100)
+    val got = SparkEntry.queries("q66_pmi_bigrams")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expect,
+      s"first diff: ${got.zip(expect).find { case (g, e) => g != e }}")
+    assert(expect.nonEmpty, "fixture produced no supported bigrams — test is vacuous")
+  }
+
+  test("q67 rate anomaly equals a driver reimplementation; an engineered burst is flagged") {
+    val H = 3600L * 1000
+    // epoch-millis hour truncation ≡ UTC date_trunc (session TZ is UTC);
+    // never parse timestamp strings — TZ-free by construction
+    def reimpl(evs: Seq[(String, Long)]): Seq[(String, Long, Long, Option[Long], Boolean)] = {
+      val h0 = evs.map(_._2).min; val h1 = evs.map(_._2).max
+      val cnt = evs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      evs.map(_._1).distinct.sorted.flatMap { tpe =>
+        val hours = (h0 to h1 by H).toArray
+        val ns = hours.map(h => cnt.getOrElse((tpe, h), 0L))
+        hours.indices.drop(24).map { i =>
+          val win = ns.slice(i - 24, i)
+          val w = 24L; val s = win.sum; val q = win.map(x => x * x).sum
+          val num = ns(i).toDouble * w.toDouble - s.toDouble
+          val den2 = w.toDouble * q.toDouble - s.toDouble * s.toDouble
+          val z = if (den2 <= 0) None
+                  else Some(math.floor(num / math.sqrt(den2) * 10000 + 0.5).toLong)
+          val spike = if (den2 <= 0) num > 0 else num / math.sqrt(den2) >= 3.0
+          (tpe, hours(i), ns(i), z, spike)
+        }
+      }
+    }
+    def run(d: String): Seq[(String, Long, Long, Option[Long], Boolean)] =
+      SparkEntry.queries("q67_rate_anomaly")(spark, d)
+        .as[(String, java.sql.Timestamp, Long, Option[Long], Boolean)].collect()
+        .map(r => (r._1, r._2.getTime, r._3, r._4, r._5)).toSeq
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_type", $"ts").as[(String, java.sql.Timestamp)].collect()
+      .map { case (t, ts) => (t, ts.getTime / H * H) }.toSeq
+    assert(run(dir) == reimpl(evs), "sf fixture mismatch vs reimplementation")
+    // engineered: 24h of exact-variance-1 background (1/3 alternating),
+    // then a 20-event burst at hour 28 → z = (20·24−48)/√576 = 18
+    val base = 1704067200000L // 2024-01-01T00:00:00Z, an exact hour
+    val eng = (0 to 29).flatMap { h =>
+      val n = if (h == 28) 20 else if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => (h.toLong * 60 + i, new java.sql.Timestamp(base + h * H + i * 60000L), "x"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q67eng").toString
+    eng.toDF("event_id", "ts", "event_type").write.parquet(s"$tmp/events.parquet")
+    val got = run(tmp)
+    assert(got.length == 6 && got == reimpl(eng.map(e => ("x", e._2.getTime / H * H))))
+    val burst = got.find(_._2 == base + 28 * H).get
+    assert(burst._4.contains(180000L) && burst._5, s"burst row: $burst")
+    assert(got.count(_._5) == 1, "only the burst hour may be flagged")
+  }
+
   test("q63 incremental dedup: every verdict class fires on an engineered cross-bucket corpus") {
     // the sf fixture has few cross-bucket duplicates, so engineer a corpus
     // that exercises all three branches: pick real bucket assignments from
