@@ -241,6 +241,84 @@ object EventStreams {
         })
   }
 
+  case class RateState(nextHourUs: Long, ring: List[Long])
+  case class RateVerdict(event_type: String, h: Timestamp, n: Long,
+      z_x1e4: Option[Long], is_spike: Boolean)
+
+  /** The streaming twin of [[graft.readside.Queries.q67RateAnomaly]]:
+    * the same per-type trailing-24-hour z-score spike monitor, run
+    * INCREMENTALLY over an unbounded stream of hourly count rows
+    * `(event_type, h, n)` (the output shape of an upstream hour-windowed
+    * aggregation). Keyed state per event_type holds the trailing ring of
+    * up to 24 hourly counts plus the next grid hour; arrival of hour h
+    * first gap-fills every missing grid hour with n=0 (the batch query's
+    * dense-grid join, unrolled in time — silence still surfaces as an
+    * anomaly), then scores h against the ring with the batch's EXACT
+    * arithmetic: num = n·w − Σn, den² = w·Σn² − (Σn)², z = num/√den² —
+    * the identical parenthesization of correctly-rounded IEEE doubles,
+    * so verdicts are bit-identical to batch, ×10⁴ half-up floor as
+    * usual; zero-variance windows emit z=NULL and flag any arrival.
+    *
+    * Ordering contract (the [[gapSessionize]] discipline): micro-batch
+    * triggers align with hour closes (the [[graft.crawl.Cadence]]
+    * shape), so one grid hour never splits across batches and hours
+    * arrive non-decreasing per type; a violation throws rather than
+    * corrupting the ring. `gridStart` anchors every type's grid at the
+    * monitor's deployment hour — the batch query's global min(h) — so a
+    * type first seen later is scored over its leading zeros exactly as
+    * batch scores it. StreamingSpec proves ≡ batch q67 on the same rows
+    * split across micro-batches, including a silent-tail type closed by
+    * an n=0 tick.
+    *
+    * Scale shape: state is O(24) longs per event_type (the key space is
+    * small and fixed); input rows are #hours × #types regardless of
+    * event volume because the row-count-sized work happened in the
+    * upstream stateless windowed count. */
+  def streamingRateAnomaly(hourly: Dataset[(String, Timestamp, Long)],
+      gridStart: Timestamp): Dataset[RateVerdict] = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000 + t.getNanos / 1000
+    val g0 = micros(gridStart)
+    hourly.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, rows: Iterator[(String, Timestamp, Long)],
+            state: GroupState[RateState]) => {
+          // merge same-hour rows within the batch, then replay in order
+          val byHour = scala.collection.immutable.TreeMap.empty[Long, Long] ++
+            rows.toArray.groupMapReduce(r => micros(r._2))(_._3)(_ + _)
+          var st = state.getOption.getOrElse(RateState(g0, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateVerdict]
+          def step(hUs: Long, n: Long): Unit = {
+            if (st.ring.length == 24) {
+              val s = st.ring.sum
+              val q = st.ring.iterator.map(c => c * c).sum
+              val num = n.toDouble * 24.0 - s.toDouble
+              val den2 = 24.0 * q.toDouble - s.toDouble * s.toDouble
+              val z = if (den2 <= 0) None
+                else Some(math.floor(num / math.sqrt(den2) * 10000 + 0.5).toLong)
+              val spike = if (den2 <= 0) num > 0
+                else num / math.sqrt(den2) >= 3.0
+              out += RateVerdict(typ, new Timestamp(hUs / 1000), n, z, spike)
+            }
+            st = RateState(hUs + HourUs, (st.ring :+ n).takeRight(24))
+          }
+          byHour.foreach { case (hUs, n) =>
+            if (hUs < st.nextHourUs)
+              throw new IllegalStateException(
+                s"late hour for $typ: ${new Timestamp(hUs / 1000)} after " +
+                  s"grid advanced to ${new Timestamp(st.nextHourUs / 1000)}")
+            var hh = st.nextHourUs
+            while (hh < hUs) { step(hh, 0L); hh += HourUs }
+            step(hUs, n)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

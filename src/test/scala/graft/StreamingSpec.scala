@@ -198,6 +198,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate-spike monitor ≡ batch q67 on the same hours split across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    def hTs(h: Int): Timestamp = Timestamp.valueOf(base.plusHours(h.toLong))
+    // engineered hourly counts over a 60-hour grid exercising every branch:
+    //  A: constant 2/h (zero-variance windows) with a 60-event spike at h40,
+    //     then real-variance z's while the spike sits in the trailing ring
+    //  B: n = h%5 — natural zero hours (grid fill) and nonzero variance
+    //  C: active only h10..h30 — leading zeros from gridStart, silent tail
+    def counts(typ: String, h: Int): Long = typ match {
+      case "A" => if (h == 40) 60L else 2L
+      case "B" => (h % 5).toLong
+      case "C" => if (h >= 10 && h <= 30) 1L + h % 3 else 0L
+    }
+    val events = for {
+      typ <- Seq("A", "B", "C"); h <- 0 until 60
+      i <- 0L until counts(typ, h)
+    } yield (typ, Timestamp.valueOf(base.plusHours(h.toLong).plusMinutes(i)))
+    val tmp = java.nio.file.Files.createTempDirectory("q67stream").toString
+    events.toDF("event_type", "ts").write.parquet(s"$tmp/events.parquet")
+    val expect = SparkEntry.queries("q67_rate_anomaly")(spark, tmp)
+      .as[(String, Timestamp, Long, Option[Long], Boolean)].collect().toSet
+    // stream run: nonzero hourly count rows only (gaps are the point),
+    // split at h35, plus an n=0 closing tick for C's silent tail
+    val rows = for {
+      typ <- Seq("A", "B", "C"); h <- 0 until 60
+      n = counts(typ, h) if n > 0
+    } yield (typ, hTs(h), n)
+    val (b1, b2) = rows.partition(_._2.getTime <= hTs(35).getTime)
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val verdicts = EventStreams.streamingRateAnomaly(input.toDS(), hTs(0))
+    val q = verdicts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("rate_anom_test").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2 :+ (("C", hTs(59), 0L)): _*); q.processAllAvailable()
+      val got = spark.table("rate_anom_test")
+        .as[(String, Timestamp, Long, Option[Long], Boolean)].collect().toSet
+      assert(expect.nonEmpty && got == expect,
+        s"stream≠batch: missing=${expect -- got} extra=${got -- expect}")
+      // the engineered spike is caught via the zero-variance any-arrival rule
+      assert(got.contains(("A", hTs(40), 60L, None, true)))
+      // and real-variance z's exist once the spike enters the trailing ring
+      assert(got.exists(r => r._1 == "A" && r._4.isDefined))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup ≡ batch q63 on the same rows split across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
