@@ -84,6 +84,7 @@ object SparkEntry {
     "q65_substr_dup_spans" -> (Queries.q65SubstringDupSpans _),
     "q66_pmi_bigrams" -> (Queries.q66PmiBigrams _),
     "q67_rate_anomaly" -> (Queries.q67RateAnomaly _),
+    "q68_weighted_sample" -> (Queries.q68WeightedSample _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

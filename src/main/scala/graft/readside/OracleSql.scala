@@ -942,6 +942,10 @@ object OracleSql {
     // Spark-pmod bucketing.
     "q59_holdout_split" -> SemOracleSql.q59Sql,
 
+    // Weighted bottom-k sample: replica-min priority keys over the same
+    // generated xxhash64 chain.
+    "q68_weighted_sample" -> SemOracleSql.q68Sql,
+
     // containment dedup: the oracle is the exhaustive quadratic form —
     // every doc pair's shared-trigram count over gram STRINGS (the
     // engine's PPJoin prefix filter is a complete candidate generator, so

@@ -1540,6 +1540,37 @@ object Queries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** q68: WEIGHTED consistent bottom-k sample — priority sampling for
+    * weighted corpora (a doc that deserves w× the selection mass of a
+    * unit doc should be picked as if present w times; q58's uniform
+    * bottom-k can't express that). Weight is an integer w ∈ [1,8]
+    * (1 + ⌊bytes/512⌋, capped — any deterministic integer weight slots
+    * in); the sample key is the MIN of w independent Spark-exact
+    * xxhash64 draws (xxhash64(64·doc_id + r), r < w — the replica
+    * trick from bottom-k sketch theory, Cohen & Kaplan 2007: the key
+    * distribution is exactly that of w copies of the doc, so inclusion
+    * probability scales with weight while staying deterministic and
+    * repeatable); the sample is the 64 smallest (key, doc_id).
+    *
+    * Scale shape: the key is a PURE PER-ROW fold — `aggregate` over
+    * sequence(0, w−1) collapses the w hashes WITHOUT exploding a row
+    * stream (no shuffle, no sampling state), and the top-64 plans as
+    * TakeOrderedAndProject (map-side partial heaps, PlanSpec-pinned).
+    * Mergeable exactly like q58: bottom-64 of a union ≡ bottom-64 of
+    * per-shard bottom-64s — the distributed-merge property the spec
+    * pins. Oracle replicates weight, hash chain, min, and signed sort
+    * bit-for-bit ([[SemOracleSql.q68Sql]]). */
+  def q68WeightedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(lit(8L), lit(1L) +
+          floor(coalesce(octet_length(col("text")), lit(0)) / 512)).as("wt"))
+      .withColumn("key64",
+        aggregate(sequence(lit(0L), col("wt") - 1), lit(Long.MaxValue),
+          (acc, r) => least(acc, xxhash64(col("doc_id") * 64 + r))))
+      .orderBy(col("key64"), col("doc_id"))
+      .limit(64)
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

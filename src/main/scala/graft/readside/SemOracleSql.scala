@@ -124,6 +124,33 @@ private object SemOracleSql {
       ORDER BY doc_id"""
   }
 
+  /** q68's oracle: weight = least(8, 1 + bytes//512), per-replica
+    * Spark-exact xxhash64(64·doc_id + r) via the same chain, signed min
+    * per doc, bottom-64 by (key, doc_id). DuckDB's `strlen` is bytes
+    * (Spark's octet_length); `//` is floor division on BIGINT — both
+    * exact on the nonnegative inputs here. */
+  val q68Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "wt"), hashLongStages, "sx")
+    s"""
+      WITH w AS (
+        SELECT doc_id,
+               least(8, 1 + coalesce(strlen(text), 0) // 512) AS wt
+        FROM documents),
+      reps AS (SELECT doc_id, wt, unnest(range(0, wt)) AS r FROM w),
+      ids AS (SELECT doc_id, wt, CAST(64 * doc_id + r AS HUGEINT) AS h FROM reps),
+      $hlCtes,
+      hsigned AS (
+        SELECT doc_id, wt,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast)
+      SELECT doc_id, CAST(wt AS BIGINT) AS wt, CAST(min(hs) AS BIGINT) AS key64
+      FROM hsigned
+      GROUP BY doc_id, wt
+      ORDER BY min(hs), doc_id
+      LIMIT 64"""
+  }
+
   /** Shared CTE prefix (q51 + q38): embeddings as DOUBLE[], k = the
     * engine's max(4, min(4096, round(√n))), the hash-ranked centroid pick,
     * and the argmax-cosine coarse assignment — exactly

@@ -114,6 +114,14 @@ class PlanSpec extends SparkSpec {
       "a range exchange means the limit degenerated to a full sort")
   }
 
+  test("q68: weighted keys fold per-row (no replica explode); top-k is TakeOrderedAndProject") {
+    val p = planExec(Queries.q68WeightedSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + merge, not a global sort:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Generate"),
+      s"the replica fold must stay a per-row map — no shuffle, no explode:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

@@ -1019,4 +1019,36 @@ class ReadsideSpec extends SparkSpec {
       incIds(0) -> "dup_history", incIds(1) -> "novel",
       incIds(2) -> "dup_incoming", incIds(3) -> "novel"))
   }
+
+  test("q68 weighted sample: keys equal an exploded-replica path; weight raises inclusion; shard-mergeable") {
+    // independent path: explode the replicas as ROWS and take the min —
+    // must equal the engine's per-row aggregate() fold
+    val keys = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        least(lit(8L), lit(1L) +
+          floor(coalesce(octet_length($"text"), lit(0)) / 512)).as("wt"))
+      .withColumn("r", explode(sequence(lit(0L), $"wt" - 1)))
+      .groupBy($"doc_id", $"wt")
+      .agg(min(xxhash64($"doc_id" * 64 + $"r")).as("key64"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    val expect = keys.sorted.take(64).map { case (k, id, w) => (id, w, k) }
+    val got = SparkEntry.queries("q68_weighted_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+    // the replica trick's point: key ≤ the doc's unit (r=0) draw, so a
+    // doc can only move INTO the sample as its weight grows
+    val unit = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", xxhash64($"doc_id" * 64).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    keys.foreach { case (k, id, w) =>
+      assert(w >= 1 && w <= 8 && k <= unit(id),
+        s"doc $id: weighted key $k above its unit draw ${unit(id)}")
+    }
+    // distributed merge: bottom-64 of the union ≡ bottom-64 over the
+    // per-shard bottom-64s (the property that lets shards pre-trim)
+    val (even, odd) = keys.partition(_._2 % 2 == 0)
+    val merged = (even.sorted.take(64) ++ odd.sorted.take(64)).sorted.take(64)
+    assert(merged.toSeq == keys.sorted.take(64).toSeq,
+      "bottom-k must be mergeable from per-shard bottom-ks")
+  }
 }
