@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_pmi_bigrams" -> (Queries.q66PmiBigrams _),
     "q67_rate_anomaly" -> (Queries.q67RateAnomaly _),
     "q68_weighted_sample" -> (Queries.q68WeightedSample _),
+    "q69_fim_split" -> (Queries.q69FimSplit _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

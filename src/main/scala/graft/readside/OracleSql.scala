@@ -946,6 +946,10 @@ object OracleSql {
     // generated xxhash64 chain.
     "q68_weighted_sample" -> SemOracleSql.q68Sql,
 
+    // FIM split: hash-derived deterministic cut points + sentinel
+    // reassembly, exact string equality.
+    "q69_fim_split" -> SemOracleSql.q69Sql,
+
     // containment dedup: the oracle is the exhaustive quadratic form —
     // every doc pair's shared-trigram count over gram STRINGS (the
     // engine's PPJoin prefix filter is a complete candidate generator, so

@@ -1571,6 +1571,46 @@ object Queries {
       .orderBy(col("key64"), col("doc_id"))
       .limit(64)
 
+  /** q69: FILL-IN-THE-MIDDLE split — the training-objective prep step
+    * (Bavarian et al. 2022: FIM transforms a fraction of pretraining
+    * docs into prefix/suffix/middle order with sentinels so the model
+    * learns infilling). Two DETERMINISTIC cut points per document —
+    * pmod(xxhash64(2·doc_id + k), n_tokens + 1), k ∈ {0,1}, sorted —
+    * split the whitespace-normalized token stream into prefix [0,lo),
+    * middle [lo,hi), suffix [hi,n); the emitted text is the PSM
+    * reordering `<PRE>prefix<SUF>suffix<MID>middle`. Hash-derived cuts
+    * (not rand()) make the transform reproducible per document across
+    * runs, cluster sizes, and corpus subsets — the q59 discipline
+    * applied to data augmentation.
+    *
+    * Scale shape: a PURE PER-ROW MAP (tokenize, two hashes, three
+    * slices, one concat) — zero exchanges before the output sort; at
+    * 100 TB this is scan-bound. Oracle replicates tokenization, the
+    * xxhash64 chain, Spark's pmod, 1-based slicing, and the sentinel
+    * assembly exactly ([[SemOracleSql.q69Sql]]). */
+  def q69FimSplit(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(col("text"), "\\s+", " "))
+    val toks = when(col("text").isNull || norm === "",
+      array().cast("array<string>")).otherwise(split(norm, " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("a", pmod(xxhash64(col("doc_id") * 2), col("n_tokens") + 1))
+      .withColumn("b", pmod(xxhash64(col("doc_id") * 2 + 1), col("n_tokens") + 1))
+      .withColumn("lo", least(col("a"), col("b")))
+      .withColumn("hi", greatest(col("a"), col("b")))
+      .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
+        concat(lit("<PRE>"),
+          array_join(slice(col("t"), lit(1), col("lo").cast("int")), " "),
+          lit("<SUF>"),
+          array_join(slice(col("t"), (col("hi") + 1).cast("int"),
+            (col("n_tokens") - col("hi")).cast("int")), " "),
+          lit("<MID>"),
+          array_join(slice(col("t"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int")), " ")).as("fim_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

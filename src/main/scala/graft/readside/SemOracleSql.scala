@@ -151,6 +151,54 @@ private object SemOracleSql {
       LIMIT 64"""
   }
 
+  /** q69's oracle: same tokenization as the q65/q66 oracles (collapse
+    * \s+ → single space, trim, split), two Spark-exact xxhash64(2·doc_id
+    * + k) cuts via the chain (unnested to rows, pivoted back), Spark's
+    * pmod as ((hs % m) + m) % m, DuckDB 1-based inclusive list slices ≡
+    * Spark's slice(start, length) for these bounds, and the identical
+    * sentinel concat. */
+  val q69Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "k"), hashLongStages, "sx")
+    s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+      reps AS (SELECT doc_id, unnest([0, 1]) AS k FROM nn),
+      ids AS (SELECT doc_id, k, CAST(2 * doc_id + k AS HUGEINT) AS h FROM reps),
+      $hlCtes,
+      hsigned AS (
+        SELECT doc_id, k,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast),
+      cuts AS (
+        SELECT doc_id,
+               max(CASE WHEN k = 0 THEN hs END) AS h0,
+               max(CASE WHEN k = 1 THEN hs END) AS h1
+        FROM hsigned GROUP BY doc_id),
+      ab AS (
+        SELECT nn.doc_id, nn.t, nn.n,
+               CAST(((h0 % (n + 1)) + (n + 1)) % (n + 1) AS BIGINT) AS a,
+               CAST(((h1 % (n + 1)) + (n + 1)) % (n + 1) AS BIGINT) AS b
+        FROM nn JOIN cuts USING (doc_id)),
+      lh AS (
+        SELECT doc_id, t, n, least(a, b) AS lo, greatest(a, b) AS hi
+        FROM ab)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             lo, hi,
+             '<PRE>' || coalesce(array_to_string(t[1:lo], ' '), '') ||
+             '<SUF>' || coalesce(array_to_string(t[hi+1:n], ' '), '') ||
+             '<MID>' || coalesce(array_to_string(t[lo+1:hi], ' '), '') AS fim_text
+      FROM lh ORDER BY doc_id"""
+  }
+
   /** Shared CTE prefix (q51 + q38): embeddings as DOUBLE[], k = the
     * engine's max(4, min(4096, round(√n))), the hash-ranked centroid pick,
     * and the argmax-cosine coarse assignment — exactly

@@ -1020,6 +1020,34 @@ class ReadsideSpec extends SparkSpec {
       incIds(2) -> "dup_incoming", incIds(3) -> "novel"))
   }
 
+  test("q69 FIM split: segments reassemble the normalized text; cuts are in range and subset-stable") {
+    val got = SparkEntry.queries("q69_fim_split")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val norm = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", coalesce(trim(regexp_replace($"text", "\\s+", " ")), lit("")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.length == norm.size)
+    val Psm = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    got.foreach { case (id, n, lo, hi, fim) =>
+      assert(0 <= lo && lo <= hi && hi <= n, s"doc $id cuts out of range: $lo $hi $n")
+      val Psm(pre, suf, mid) = fim
+      // losslessness: prefix ++ middle ++ suffix is the original token stream
+      val back = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(back == norm(id), s"doc $id does not reassemble")
+      val tok = (s: String) => if (s.isEmpty) 0 else s.split(" ", -1).length
+      assert(tok(pre) == lo && tok(mid) == hi - lo && tok(suf) == n - hi,
+        s"doc $id segment sizes ${tok(pre)}/${tok(mid)}/${tok(suf)} != $lo/${hi - lo}/${n - hi}")
+    }
+    // engineered edge docs: empty, whitespace-only, null, one token
+    val docs = Seq((1L, "  "), (2L, "solo"), (3L, null), (4L, "a  b\tc\nd"))
+    val tmp = java.nio.file.Files.createTempDirectory("q69eng").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val e = SparkEntry.queries("q69_fim_split")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toList
+    assert(e.map(_._2) == List(0L, 1L, 0L, 4L), s"edge token counts: $e")
+    assert(e.filter(x => x._1 == 1 || x._1 == 3).forall(_._3 == "<PRE><SUF><MID>"))
+  }
+
   test("q68 weighted sample: keys equal an exploded-replica path; weight raises inclusion; shard-mergeable") {
     // independent path: explode the replicas as ROWS and take the min —
     // must equal the engine's per-row aggregate() fold
