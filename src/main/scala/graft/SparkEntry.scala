@@ -86,6 +86,7 @@ object SparkEntry {
     "q67_rate_anomaly" -> (Queries.q67RateAnomaly _),
     "q68_weighted_sample" -> (Queries.q68WeightedSample _),
     "q69_fim_split" -> (Queries.q69FimSplit _),
+    "q70_best_passage" -> (Queries.q70BestPassage _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

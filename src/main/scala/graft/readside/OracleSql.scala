@@ -1142,6 +1142,45 @@ object OracleSql {
                   ELSE CAST(floor(num / sqrt(den2) * 10000 + 0.5) AS BIGINT) END AS z_x1e4,
              CASE WHEN den2 <= 0 THEN num > 0
                   ELSE num / sqrt(den2) >= 3.0 END AS is_spike
-      FROM z ORDER BY event_type, h"""
+      FROM z ORDER BY event_type, h""",
+
+    // best-passage snippet: the NAIVE formulation on purpose (explode
+    // positions, RANGE-window hit count per anchor, argmax, join text
+    // back) — an independent shape from the engine's per-row fold;
+    // integer hit counts and exact snippet strings.
+    "q70_best_passage" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) + 1)) - 1 AS pos,
+               unnest(t) AS tok
+        FROM toks WHERE len(t) >= 1),
+      hits AS (SELECT doc_id, pos FROM g
+               WHERE tok IN ('spark', 'window', 'vector')),
+      w AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              RANGE BETWEEN CURRENT ROW AND 31 FOLLOWING) AS nh
+        FROM hits),
+      best AS (
+        SELECT doc_id, pos, nh,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY nh DESC, pos) AS rn
+        FROM w)
+      SELECT b.doc_id, CAST(b.nh AS BIGINT) AS n_hits,
+             CAST(b.pos AS BIGINT) AS start,
+             coalesce(array_to_string(
+               t[b.pos + 1 : least(b.pos + 32, len(t))], ' '), '') AS snippet
+      FROM best b JOIN toks USING (doc_id)
+      WHERE rn = 1
+      ORDER BY b.doc_id"""
   )
 }

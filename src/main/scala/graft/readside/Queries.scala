@@ -1611,6 +1611,56 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** q70: BEST-PASSAGE SNIPPET — the search-result highlighting step the
+    * reference serves via Solr's highlighter next to every ranked hit
+    * (q46 ranks; this extracts what the user sees). For each document
+    * matching the fixed query (q46's "spark window vector"), find the
+    * 32-token window holding the MOST query-term occurrences; ties
+    * break to the earliest window. Canonical snippet anchoring: an
+    * optimal window can always start AT a hit (sliding right to the
+    * first covered hit never drops one), so anchors range over hit
+    * positions only and the result is the (max-hits, min-anchor) hit.
+    *
+    * Scale shape: computed as a PURE PER-ROW FOLD — hit positions via
+    * an indexed transform+filter over the token array, then an O(h²)
+    * aggregate over the (tiny) hit list picks the best anchor — so the
+    * whole operator is map-only, ZERO exchanges before the output sort
+    * (PlanSpec-pinned); the naive formulation (explode positions,
+    * window-count, argmax, join text back) shuffles every token AND
+    * re-shuffles the corpus for snippet assembly. The oracle IS that
+    * naive formulation in DuckDB — two independent shapes, equal
+    * integer counts, exact snippet strings. */
+  def q70BestPassage(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "vector")
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = when(col("text").isNull || norm === "",
+      array().cast("array<string>")).otherwise(split(norm, " "))
+    val hitPos = filter(
+      transform(col("t"), (x, i) =>
+        when(x.isInCollection(terms), i.cast("long")).otherwise(lit(-1L))),
+      p => p >= 0)
+    val best = aggregate(col("hp"),
+      struct(lit(0L).as("cnt"), lit(0L).as("pos")),
+      (acc, p) => {
+        val c = size(filter(col("hp"), q => q >= p && q <= p + 31)).cast("long")
+        when(c > acc.getField("cnt"),
+          struct(c.as("cnt"), p.as("pos"))).otherwise(acc)
+      })
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("hp", hitPos)
+      .filter(size(col("hp")) > 0)
+      .withColumn("best", best)
+      .select(col("doc_id"),
+        col("best").getField("cnt").as("n_hits"),
+        col("best").getField("pos").as("start"),
+        array_join(slice(col("t"),
+          (col("best").getField("pos") + 1).cast("int"),
+          least(lit(32L), size(col("t")) - col("best").getField("pos"))
+            .cast("int")), " ").as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -122,6 +122,12 @@ class PlanSpec extends SparkSpec {
       s"the replica fold must stay a per-row map — no shuffle, no explode:\n$p")
   }
 
+  test("q70: best-passage snippet is map-only — no hash exchange, no position explode") {
+    val p = planExec(Queries.q70BestPassage(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
+      s"the per-row fold must not shuffle tokens or explode positions:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

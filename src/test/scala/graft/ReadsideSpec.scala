@@ -1048,6 +1048,53 @@ class ReadsideSpec extends SparkSpec {
     assert(e.filter(x => x._1 == 1 || x._1 == 3).forall(_._3 == "<PRE><SUF><MID>"))
   }
 
+  test("q70 best passage: per-row fold equals an exploded window-count path; engineered tie breaks early") {
+    // third shape (vs engine fold and DuckDB window-SQL): Spark explode +
+    // range window + argmax
+    val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    val toksD = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        when($"text".isNull || norm === "", array().cast("array<string>"))
+          .otherwise(split(norm, " ")).as("t"))
+    val hits = toksD.select($"doc_id", posexplode($"t").as(Seq("pos", "tok")))
+      .filter($"tok".isin("spark", "window", "vector"))
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val fr = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rangeBetween(Window.currentRow, 31)
+    val expect = hits.withColumn("nh", count(lit(1)).over(fr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"nh".desc, $"pos")))
+      .filter($"rn" === 1)
+      .join(toksD, Seq("doc_id"))
+      .select($"doc_id", $"nh", $"pos",
+        array_join(slice($"t", ($"pos" + 1).cast("int"),
+          least(lit(32L), size($"t") - $"pos").cast("int")), " "))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(expect.nonEmpty, "fixture must contain query terms")
+    val got = SparkEntry.queries("q70_best_passage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expect,
+      s"fold≠window: missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
+    // engineered: two windows hold 2 hits each — the EARLIER anchor wins;
+    // a denser 3-hit window later must beat both
+    val doc = (Seq("spark", "window") ++ Seq.fill(30)("x") ++
+      Seq("spark", "window") ++ Seq.fill(40)("y") ++
+      Seq("spark", "vector", "window")).mkString(" ")
+    val tieDoc = (Seq("spark", "window") ++ Seq.fill(30)("x") ++
+      Seq("spark", "window")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("q70eng").toString
+    Seq((1L, doc), (2L, tieDoc)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val e = SparkEntry.queries("q70_best_passage")(spark, tmp)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(e(1L) == ((3L, 74L, "spark vector window")),
+      s"engineered best window wrong: ${e(1L)}")
+    // doc 2: anchors 0/1/32 all hold 2 hits — the earliest must win
+    assert(e(2L)._1 == 2L && e(2L)._2 == 0L,
+      s"tie must break to the earliest anchor: ${e(2L)}")
+  }
+
   test("q68 weighted sample: keys equal an exploded-replica path; weight raises inclusion; shard-mergeable") {
     // independent path: explode the replicas as ROWS and take the min —
     // must equal the engine's per-row aggregate() fold
