@@ -87,6 +87,8 @@ object SparkEntry {
     "q68_weighted_sample" -> (Queries.q68WeightedSample _),
     "q69_fim_split" -> (Queries.q69FimSplit _),
     "q70_best_passage" -> (Queries.q70BestPassage _),
+    "q71_sample_quantiles" -> (Queries.q71SampleQuantiles _),
+    "q72_kmv_distinct" -> (Queries.q72KmvDistinct _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -950,6 +950,14 @@ object OracleSql {
     // reassembly, exact string equality.
     "q69_fim_split" -> SemOracleSql.q69Sql,
 
+    // Sample quantiles: per-source bottom-32 consistent sample + q57's
+    // nearest-rank picks, all integers.
+    "q71_sample_quantiles" -> SemOracleSql.q71Sql,
+
+    // KMV distinct-count sketch: FNV-1a rebuilt via list_reduce, unsigned
+    // rank, integer estimate.
+    "q72_kmv_distinct" -> SemOracleSql.q72Sql,
+
     // containment dedup: the oracle is the exhaustive quadratic form —
     // every doc pair's shared-trigram count over gram STRINGS (the
     // engine's PPJoin prefix filter is a complete candidate generator, so

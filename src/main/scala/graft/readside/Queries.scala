@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{EcliFunctions, SimilarityFunctions, TextFunctions, UrlFunctions}
-import graft.expressions.GraftFunctions
+import graft.expressions.{GraftFunctions, KmvAggregator}
 
 /** The read-side query surface (SURVEY.md §2.4-§2.8 + the training-data
   * pipeline operators), one function per operator, each with a DuckDB
@@ -1659,6 +1659,80 @@ object Queries {
           least(lit(32L), size(col("t")) - col("best").getField("pos"))
             .cast("int")), " ").as("snippet"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q71: SAMPLE QUANTILES — the sketch path for q57: exact nearest-rank
+    * quantiles computed over each source's CONSISTENT bottom-32 sample
+    * (q58's primitive, per group) instead of the full partition. The
+    * estimator every 100 TB profiler actually runs: q57's exact form
+    * sorts every row of every group; this touches 32 rows per group
+    * after a slim projection, the sample is the SAME every run/subset
+    * (deterministic hash ranks, no RNG state), and per-shard samples
+    * merge by re-ranking — so group profiles stay comparable across
+    * epochs while costing a bounded sort. Quantile picks reuse q57's
+    * exact integer nearest-rank arithmetic over the sample size m.
+    *
+    * Scale shape: one exchange of the slim (source, doc_id, n_chars)
+    * projection on the group key; both windows co-partition on it
+    * (q57's discipline), and everything after the rank filter runs on
+    * ≤32 rows per group. Oracle replicates hash rank, cutoff, and
+    * rank picks bit-for-bit ([[SemOracleSql.q71Sql]]). */
+  def q71SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val wHash = Window.partitionBy(col("source")).orderBy(col("h64"), col("doc_id"))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h64", xxhash64(col("doc_id")))
+      .withColumn("rh", row_number().over(wHash))
+      .filter(col("rh") <= 32)
+      .withColumn("rn", row_number().over(wOrd).cast("bigint"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .groupBy(col("source"), col("m"))
+      .agg(
+        max(when(expr("rn = (m + 1) div 2"), col("n_chars"))).as("p50_est"),
+        max(when(expr("rn = (9 * m + 9) div 10"), col("n_chars"))).as("p90_est"))
+      .select(col("source"), col("m").as("m_sample"),
+        col("p50_est"), col("p90_est"))
+      .orderBy(col("source"))
+  }
+
+  /** q72: KMV DISTINCT-VOCABULARY estimate — per source, the number of
+    * distinct tokens, estimated by the [[graft.expressions.KmvAggregator]]
+    * k-minimum-values sketch (k = 256) over the native per-token FNV-64
+    * hashes: D̂ = (k−1)·2⁶⁴ div u₍ₖ₎ when the sketch is full, the exact
+    * count otherwise. The COUNT(DISTINCT)-at-100-TB primitive: an exact
+    * per-group distinct shuffles every distinct token key; the sketch
+    * crosses the exchange as ≤256 longs per partition per group
+    * (PlanSpec-pinned: ONE source-key exchange, 2-phase ObjectHashAggregate,
+    * the token stream never shuffles).
+    *
+    * Everything is integer arithmetic — the estimate divides in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so no double-rounding
+    * hazard — and the sketch is deterministic for the fixed hash, so the
+    * oracle replicates it relationally: FNV-1a folded over token bytes
+    * with list_reduce, distinct, unsigned rank ≤ k
+    * ([[SemOracleSql.q72Sql]]). */
+  def q72KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val num = (BigInt(k) - 1) * (BigInt(1) << 64)
+    val two64 = BigInt(1) << 64
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(GraftFunctions.wordNgramHashes(col("text"), 1)).as("h"))
+      .groupBy(col("source"))
+      .agg(KmvAggregator.kmvAgg(col("h"), k).as("sk"))
+      .select(col("source"), size(col("sk")).cast("long").as("n_sketch"),
+        when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth"))
+      .select(col("source"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(
+            s"""CAST($num AS DECIMAL(38,0)) div
+                (CAST(kth AS DECIMAL(38,0)) +
+                 CASE WHEN kth < 0 THEN CAST($two64 AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END)"""))
+          .as("est_distinct"))
+      .orderBy(col("source"))
   }
 
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision

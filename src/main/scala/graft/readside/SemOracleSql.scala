@@ -199,6 +199,82 @@ private object SemOracleSql {
       FROM lh ORDER BY doc_id"""
   }
 
+  /** q71's oracle: same xxhash64 chain over doc_id, per-source signed
+    * hash rank, bottom-32 cutoff, then q57's exact nearest-rank picks
+    * over the sample — all integer arithmetic. */
+  val q71Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "source", "n_chars"),
+      hashLongStages, "sx")
+    s"""
+      WITH ids AS (
+        SELECT doc_id, source, n_chars, CAST(doc_id AS HUGEINT) AS h
+        FROM documents),
+      $hlCtes,
+      hsigned AS (
+        SELECT doc_id, source, n_chars,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast),
+      ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rh
+        FROM hsigned),
+      samp AS (SELECT source, doc_id, n_chars FROM ranked WHERE rh <= 32),
+      ord AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS m
+        FROM samp)
+      SELECT source, CAST(m AS BIGINT) AS m_sample,
+             max(CASE WHEN rn = (m + 1) // 2 THEN n_chars END) AS p50_est,
+             max(CASE WHEN rn = (9 * m + 9) // 10 THEN n_chars END) AS p90_est
+      FROM ord
+      GROUP BY source, m
+      ORDER BY source"""
+  }
+
+  /** q72's oracle: the KMV estimate rebuilt relationally — per-token
+    * FNV-1a folded over the token's bytes with list_reduce (bit-exact vs
+    * ExprOps.fnv64 on the ASCII corpus; the engine's blank-doc single
+    * empty-gram case is the [''] token whose fold is the FNV offset
+    * basis), DISTINCT per source, unsigned rank, the 256 smallest, and
+    * the all-integer HUGEINT estimate — no doubles anywhere. */
+  val q72Sql: String = {
+    val fnvOffset = BigInt("CBF29CE484222325", 16)
+    val fnvPrime = BigInt("100000001B3", 16)
+    val fold = mul64(xor64("h", "b"), fnvPrime)
+    val num = BigInt(255) * (BigInt(1) << 64)
+    s"""
+      WITH toks AS (
+        SELECT source,
+               CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                    THEN ['']
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT source, unnest(list_distinct(t)) AS s FROM toks),
+      hashed AS (
+        SELECT source,
+               list_reduce(
+                 list_prepend(CAST($fnvOffset AS HUGEINT),
+                   list_transform(range(1, strlen(s) + 1),
+                     i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
+                 (h, b) -> $fold) AS h
+        FROM tok),
+      d AS (SELECT DISTINCT source, h FROM hashed),
+      r AS (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM d),
+      agg AS (SELECT source, count(*) AS n_sketch, max(h) AS kth
+              FROM r WHERE rk <= 256 GROUP BY source)
+      SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+             CAST(CASE WHEN n_sketch < 256 THEN n_sketch
+                       ELSE $num::HUGEINT // kth END AS BIGINT) AS est_distinct
+      FROM agg ORDER BY source"""
+  }
+
   /** Shared CTE prefix (q51 + q38): embeddings as DOUBLE[], k = the
     * engine's max(4, min(4096, round(√n))), the hash-ranked centroid pick,
     * and the argmax-cosine coarse assignment — exactly

@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
       s"the per-row fold must not shuffle tokens or explode positions:\n$p")
   }
 
+  test("q72: KMV sketches cross the exchange, never the token-hash stream (2-phase object agg)") {
+    val p = planExec(Queries.q72KmvDistinct(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial + final object hash aggregation:\n$p")
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1 &&
+      "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the ≤256-long per-partition sketches may shuffle, keyed on source:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

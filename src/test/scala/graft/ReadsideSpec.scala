@@ -1048,6 +1048,77 @@ class ReadsideSpec extends SparkSpec {
     assert(e.filter(x => x._1 == 1 || x._1 == 3).forall(_._3 == "<PRE><SUF><MID>"))
   }
 
+  test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def sample(xs: Seq[(String, Long, Long, Long)]) =
+      xs.groupBy(_._1).view.mapValues(
+        _.sortBy(x => (x._4, x._2)).take(32)).toMap
+    def quant(samp: Seq[(String, Long, Long, Long)]) = {
+      val ord = samp.sortBy(x => (x._3, x._2)).map(_._3)
+      val m = ord.length.toLong
+      (m, ord(((m + 1) / 2 - 1).toInt), ord(((9 * m + 9) / 10 - 1).toInt))
+    }
+    val expect = sample(rows.toSeq).map { case (src, ss) =>
+      val (m, p50, p90) = quant(ss); (src, m, p50, p90)
+    }.toSet
+    val got = SparkEntry.queries("q71_sample_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
+    // shard-mergeability: bottom-32 of a union ≡ bottom-32 over the
+    // per-shard bottom-32s (so per-executor samples pre-trim)
+    val (ev, od) = rows.partition(_._2 % 2 == 0)
+    val merged = sample((sample(ev.toSeq).values.flatten ++
+      sample(od.toSeq).values.flatten).toSeq)
+    assert(merged == sample(rows.toSeq), "per-source sample must be shard-mergeable")
+    // accuracy sanity: the p50 estimate sits in the middle half of its group
+    val bySrc = rows.groupBy(_._1)
+    got.foreach { case (src, _, p50, _) =>
+      val vals = bySrc(src).map(_._3).sorted
+      val below = vals.count(_ < p50).toDouble / vals.length
+      assert(below > 0.2 && below < 0.8, s"$src p50_est=$p50 rank frac $below")
+    }
+  }
+
+  test("q72 KMV distinct: sketch equals a relational reimplementation; accurate; exact below k; merge-order-free") {
+    import graft.expressions.{KmvAggregator, GraftFunctions}
+    val hs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", explode(GraftFunctions.wordNgramHashes($"text", 1)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // relational reimplementation: distinct, unsigned sort, bottom-256
+    def est(xs: Seq[Long]): (Long, Long) = {
+      val d = xs.distinct.map(_ ^ Long.MinValue).sorted.take(256)
+      val n = d.length.toLong
+      val e = if (n < 256) n
+        else ((BigInt(255) << 64) /
+          (BigInt(d.last ^ Long.MinValue) & ((BigInt(1) << 64) - 1))).toLong
+      (n, e)
+    }
+    val expect = hs.groupBy(_._1).map { case (s, xs) =>
+      val (n, e) = est(xs.map(_._2).toSeq); (s, n, e)
+    }.toSet
+    val got = SparkEntry.queries("q72_kmv_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
+    // accuracy: KMV with k=256 has σ ≈ 6%; assert a loose ±25% band on
+    // full sketches, exactness below k
+    val exact = hs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    got.foreach { case (s, n, e) =>
+      if (n < 256) assert(e == exact(s), s"$s below-k estimate must be exact")
+      else assert(math.abs(e - exact(s)).toDouble / exact(s) < 0.25,
+        s"$s est=$e exact=${exact(s)}")
+    }
+    // merge is order- and partitioning-free: fold the same multiset two ways
+    val agg = new KmvAggregator(16)
+    val vals = hs.map(_._2).take(500)
+    val one = vals.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = vals.splitAt(137)
+    val two = agg.merge(r.reverse.foldLeft(agg.zero)(agg.reduce),
+      l.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(one).toSeq == agg.finish(two).toSeq)
+  }
+
   test("q70 best passage: per-row fold equals an exploded window-count path; engineered tie breaks early") {
     // third shape (vs engine fold and DuckDB window-SQL): Spark explode +
     // range window + argmax
