@@ -319,6 +319,46 @@ object EventStreams {
         })
   }
 
+  case class KmvUpdate(source: String, version: Long, n_sketch: Long,
+      est_distinct: Long)
+
+  /** The streaming twin of [[graft.readside.Queries.q72KmvDistinct]]:
+    * per-source KMV distinct-count over an unbounded stream of token
+    * hashes. The sketch IS the keyed state — [[graft.expressions
+    * .KmvAggregator]]'s bounded sorted buffer resumed across
+    * micro-batches; because a set-of-minima is insertion-order-free,
+    * folding batch after batch into state is IDENTICAL to the batch
+    * aggregate over the concatenated stream, so after any prefix the
+    * emitted estimate equals batch q72 on the same rows (StreamingSpec
+    * proves equality on the full corpus split across batches, and the
+    * estimate math is the same all-integer (k−1)·2⁶⁴ div u₍ₖ₎).
+    *
+    * Each batch emits the source's current (n_sketch, estimate) stamped
+    * with the monotone `version` = hashes seen (the [[streamingHeavyHitters]]
+    * convention: consumers read max-version per source). Scale shape:
+    * state is ≤k longs per source; the token stream reaches the state
+    * store pre-hashed and is never re-shuffled elsewhere. */
+  def streamingKmvDistinct(tokenHashes: Dataset[(String, Long)],
+      k: Int = 256): Dataset[KmvUpdate] = {
+    val spark = tokenHashes.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.KmvAggregator(k)
+    tokenHashes.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long)],
+            state: GroupState[(graft.expressions.KmvBuf, Long)]) => {
+          var (buf, seen) = state.getOption.getOrElse((agg.zero, 0L))
+          rows.foreach { case (_, h) => agg.reduce(buf, h); seen += 1 }
+          state.update((buf, seen))
+          val mins = agg.finish(buf)
+          val est =
+            if (mins.length < k) mins.length.toLong
+            else ((BigInt(k - 1) << 64) /
+              (BigInt(mins.last) & ((BigInt(1) << 64) - 1))).toLong
+          Iterator.single(KmvUpdate(src, seen, mins.length.toLong, est))
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

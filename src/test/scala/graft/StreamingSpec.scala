@@ -247,6 +247,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct ≡ batch q72 on the same hashes split across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select($"source",
+        explode(graft.expressions.GraftFunctions.wordNgramHashes($"text", 1)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = SparkEntry.queries("q72_kmv_distinct")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val input = MemoryStream[(String, Long)]
+    val updates = EventStreams.streamingKmvDistinct(input.toDS())
+    val q = updates.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("kmv_test").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // current value per source = the max-version row (MG convention)
+      val got = spark.table("kmv_test")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (s, us) =>
+          val last = us.maxBy(_._2); (s, (last._3, last._4))
+        }
+      assert(got == expect, s"stream≠batch: $got vs $expect")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup ≡ batch q63 on the same rows split across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
