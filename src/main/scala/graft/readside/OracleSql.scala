@@ -1189,6 +1189,40 @@ object OracleSql {
                t[b.pos + 1 : least(b.pos + 32, len(t))], ' '), '') AS snippet
       FROM best b JOIN toks USING (doc_id)
       WHERE rn = 1
-      ORDER BY b.doc_id"""
+      ORDER BY b.doc_id""",
+
+    // characteristic terms: tf·ln(N/df) in the one shared
+    // parenthesization (ln's input domain is the ≤N distinct ratios
+    // N/df, enumeration-checkable), row_number top-10 per source.
+    "q73_tfidf_terms" -> """
+      WITH toks AS (
+        SELECT source,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      g AS (SELECT source, unnest(t) AS tok FROM toks),
+      tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM g GROUP BY source, tok),
+      n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src
+            FROM documents),
+      w AS (SELECT source, tok, tf,
+                   CAST(count(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+            FROM tf),
+      sc AS (SELECT source, tok, tf, df,
+                    CAST(floor(ln(n_src / CAST(df AS DOUBLE)) *
+                               CAST(tf AS DOUBLE) * 10000 + 0.5)
+                         AS BIGINT) AS score_x1e4
+             FROM w CROSS JOIN n),
+      r AS (SELECT source, tok, tf, df, score_x1e4,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score_x1e4 DESC, tok) AS rn
+            FROM sc)
+      SELECT source, tok, tf, df, score_x1e4
+      FROM r WHERE rn <= 10
+      ORDER BY source, score_x1e4 DESC, tok"""
   )
 }

@@ -1735,6 +1735,45 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** q73: CHARACTERISTIC TERMS per source — the data-card vocabulary
+    * report: for each source, the 10 tokens with the highest
+    * tf·ln(N/df) where tf is the source's token count, df the number of
+    * sources containing the token, N the source count. Terms every
+    * source shares score 0 (ln 1); terms unique to a source score
+    * highest — the cross-source contrast a mixture designer reads
+    * before weighting (q49/q52's qualitative sibling).
+    *
+    * Scale shape: ONE corpus-sized exchange — the (source, token) hash
+    * agg with map-side combine; everything after runs at VOCABULARY
+    * grain (df via a token-partitioned window on the aggregate, N a
+    * broadcast scalar, top-10 a source-partitioned row_number). The
+    * ln input domain is the ≤N distinct ratios N/df, so cross-engine ln
+    * agreement is checkable by enumeration (q66's ln discipline);
+    * score composed in ONE shared parenthesization, ×10⁴ half-up
+    * floor. */
+  def q73TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = when(col("text").isNull || norm === "",
+      array().cast("array<string>")).otherwise(split(norm, " "))
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // driver scalar over the slim source column (q47's bucket-sizing
+    // discipline) — NOT over tf, which would run the big agg twice
+    val nSrc = t(s, dir, "documents").select(col("source")).distinct().count()
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("score_x1e4",
+        floor(log(lit(nSrc.toDouble) / col("df").cast("double")) *
+          col("tf").cast("double") * 10000 + 0.5).cast("bigint"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score_x1e4").desc, col("tok"))))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("tok"), col("tf"), col("df"),
+        col("score_x1e4"))
+      .orderBy(col("source"), col("score_x1e4").desc, col("tok"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

