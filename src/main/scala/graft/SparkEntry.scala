@@ -90,6 +90,7 @@ object SparkEntry {
     "q71_sample_quantiles" -> (Queries.q71SampleQuantiles _),
     "q72_kmv_distinct" -> (Queries.q72KmvDistinct _),
     "q73_tfidf_terms" -> (Queries.q73TfidfTerms _),
+    "q74_inverted_index" -> (Queries.q74InvertedIndex _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

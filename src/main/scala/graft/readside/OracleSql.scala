@@ -1223,6 +1223,26 @@ object OracleSql {
             FROM sc)
       SELECT source, tok, tf, df, score_x1e4
       FROM r WHERE rn <= 10
-      ORDER BY source, score_x1e4 DESC, tok"""
+      ORDER BY source, score_x1e4 DESC, tok""",
+
+    // inverted-index build: per-(term, doc) tf + per-term df, posting
+    // grain, plain relational form.
+    "q74_inverted_index" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      g AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM g GROUP BY term, doc_id)
+      SELECT term, doc_id, tf,
+             CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM tf
+      ORDER BY term, doc_id"""
   )
 }

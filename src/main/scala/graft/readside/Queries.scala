@@ -1774,6 +1774,34 @@ object Queries {
       .orderBy(col("source"), col("score_x1e4").desc, col("tok"))
   }
 
+  /** q74: INVERTED-INDEX BUILD — the postings construction the reference
+    * delegates to Solr at indexing time (every crawled document is
+    * committed into Solr's inverted index;
+    * repository/SolrDocumentRepository.java's save path): per (term,
+    * doc) the term frequency, per term the document frequency — the
+    * exact relation BM25 (q46) consumes, materialized as an index
+    * artifact instead of recomputed per query. Emitted at posting grain
+    * (term, doc_id, tf, df), df stamped onto each posting so a reader
+    * scans one relation; terms with df = 1 are kept (they are the
+    * high-idf matches).
+    *
+    * Scale shape: ONE corpus-sized exchange — the map-side-combined
+    * (term, doc) count; df is a term-partitioned window over the
+    * aggregate (vocabulary grain, co-partitioned with nothing bigger).
+    * At 100 TB this is the textbook MapReduce index build, expressed
+    * declaratively. Oracle is the plain relational form. */
+  def q74InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val toks = when(col("text").isNull || norm === "",
+      array().cast("array<string>")).otherwise(split(norm, " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

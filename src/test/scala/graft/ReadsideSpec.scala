@@ -1081,6 +1081,35 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q74 inverted index: postings agree with the native term-freq kernel; tf sums to doc length; df counts postings") {
+    val got = SparkEntry.queries("q74_inverted_index")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // cross-validation: for q46's fixed terms, the relational postings
+    // must equal the native one-pass TermFreqsExpr kernel per document
+    val terms = Seq("spark", "window", "vector")
+    val native = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        graft.expressions.GraftFunctions.termFreqs($"text", terms).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val postings = got.groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3)).toMap).toMap
+    native.foreach { case (id, arr) =>
+      terms.zipWithIndex.foreach { case (t, i) =>
+        val fromIndex = postings.getOrElse(t, Map.empty).getOrElse(id, 0L)
+        assert(fromIndex == arr(i + 1),
+          s"doc $id term $t: postings=$fromIndex native=${arr(i + 1)}")
+      }
+      // completeness: per-doc tf sums to the kernel's token count
+      val dl = got.filter(_._2 == id).map(_._3).sum
+      assert(dl == arr(0), s"doc $id: postings tf sum $dl != token count ${arr(0)}")
+    }
+    // df on every posting = the term's posting count
+    got.groupBy(_._1).foreach { case (t, ps) =>
+      assert(ps.forall(_._4 == ps.length.toLong), s"term $t df mismatch")
+    }
+  }
+
   test("q73 tf-idf terms: equals a driver reimplementation; shared terms score 0; unique terms rank top") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
