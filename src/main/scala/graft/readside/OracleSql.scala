@@ -1203,7 +1203,7 @@ object OracleSql {
                     ELSE regexp_split_to_array(
                            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
                END AS t
-        FROM documents),
+        FROM documents WHERE source IS NOT NULL),
       g AS (SELECT source, unnest(t) AS tok FROM toks),
       tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
              FROM g GROUP BY source, tok),

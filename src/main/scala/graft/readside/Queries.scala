@@ -25,6 +25,17 @@ import graft.expressions.{GraftFunctions, KmvAggregator}
   */
 object Queries {
 
+  /** Shared tokenization discipline (the engine side of the oracle
+    * parity contract, duplicated per-oracle in SQL): collapse \\s+ runs
+    * to single spaces, trim, split on ' '; null/blank text yields an
+    * EMPTY array, never a [""] singleton. */
+  private def normToks(lowercase: Boolean) = {
+    val base = if (lowercase) lower(col("text")) else col("text")
+    val norm = trim(regexp_replace(base, "\\s+", " "))
+    when(col("text").isNull || norm === "",
+      array().cast("array<string>")).otherwise(split(norm, " "))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1546,7 +1557,8 @@ object Queries {
     * bottom-k can't express that). Weight is an integer w ∈ [1,8]
     * (1 + ⌊bytes/512⌋, capped — any deterministic integer weight slots
     * in); the sample key is the MIN of w independent Spark-exact
-    * xxhash64 draws (xxhash64(64·doc_id + r), r < w — the replica
+    * draws (two-argument xxhash64(doc_id, r), r < w — no id arithmetic
+    * to overflow or collide; the replica
     * trick from bottom-k sketch theory, Cohen & Kaplan 2007: the key
     * distribution is exactly that of w copies of the doc, so inclusion
     * probability scales with weight while staying deterministic and
@@ -1567,7 +1579,7 @@ object Queries {
           floor(coalesce(octet_length(col("text")), lit(0)) / 512)).as("wt"))
       .withColumn("key64",
         aggregate(sequence(lit(0L), col("wt") - 1), lit(Long.MaxValue),
-          (acc, r) => least(acc, xxhash64(col("doc_id") * 64 + r))))
+          (acc, r) => least(acc, xxhash64(col("doc_id"), r))))
       .orderBy(col("key64"), col("doc_id"))
       .limit(64)
 
@@ -1575,7 +1587,7 @@ object Queries {
     * (Bavarian et al. 2022: FIM transforms a fraction of pretraining
     * docs into prefix/suffix/middle order with sentinels so the model
     * learns infilling). Two DETERMINISTIC cut points per document —
-    * pmod(xxhash64(2·doc_id + k), n_tokens + 1), k ∈ {0,1}, sorted —
+    * pmod(xxhash64(doc_id, k), n_tokens + 1), k ∈ {0,1}, sorted —
     * split the whitespace-normalized token stream into prefix [0,lo),
     * middle [lo,hi), suffix [hi,n); the emitted text is the PSM
     * reordering `<PRE>prefix<SUF>suffix<MID>middle`. Hash-derived cuts
@@ -1589,14 +1601,11 @@ object Queries {
     * xxhash64 chain, Spark's pmod, 1-based slicing, and the sentinel
     * assembly exactly ([[SemOracleSql.q69Sql]]). */
   def q69FimSplit(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(col("text"), "\\s+", " "))
-    val toks = when(col("text").isNull || norm === "",
-      array().cast("array<string>")).otherwise(split(norm, " "))
     t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), normToks(lowercase = false).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
-      .withColumn("a", pmod(xxhash64(col("doc_id") * 2), col("n_tokens") + 1))
-      .withColumn("b", pmod(xxhash64(col("doc_id") * 2 + 1), col("n_tokens") + 1))
+      .withColumn("a", pmod(xxhash64(col("doc_id"), lit(0L)), col("n_tokens") + 1))
+      .withColumn("b", pmod(xxhash64(col("doc_id"), lit(1L)), col("n_tokens") + 1))
       .withColumn("lo", least(col("a"), col("b")))
       .withColumn("hi", greatest(col("a"), col("b")))
       .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
@@ -1632,9 +1641,7 @@ object Queries {
     * integer counts, exact snippet strings. */
   def q70BestPassage(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "window", "vector")
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = when(col("text").isNull || norm === "",
-      array().cast("array<string>")).otherwise(split(norm, " "))
+    val toks = normToks(lowercase = true)
     val hitPos = filter(
       transform(col("t"), (x, i) =>
         when(x.isInCollection(terms), i.cast("long")).otherwise(lit(-1L))),
@@ -1752,16 +1759,16 @@ object Queries {
     * score composed in ONE shared parenthesization, ×10⁴ half-up
     * floor. */
   def q73TfidfTerms(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = when(col("text").isNull || norm === "",
-      array().cast("array<string>")).otherwise(split(norm, " "))
-    val tf = t(s, dir, "documents")
-      .select(col("source"), explode(toks).as("tok"))
+    val docs = t(s, dir, "documents").filter(col("source").isNotNull)
+    val tf = docs
+      .select(col("source"), explode(normToks(lowercase = true)).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // driver scalar over the slim source column (q47's bucket-sizing
-    // discipline) — NOT over tf, which would run the big agg twice
-    val nSrc = t(s, dir, "documents").select(col("source")).distinct().count()
+    // discipline) — NOT over tf, which would run the big agg twice;
+    // null sources are excluded on BOTH sides (DuckDB count(DISTINCT)
+    // ignores NULL, Spark distinct() would count it)
+    val nSrc = docs.select(col("source")).distinct().count()
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("score_x1e4",
         floor(log(lit(nSrc.toDouble) / col("df").cast("double")) *
@@ -1790,17 +1797,13 @@ object Queries {
     * aggregate (vocabulary grain, co-partitioned with nothing bigger).
     * At 100 TB this is the textbook MapReduce index build, expressed
     * declaratively. Oracle is the plain relational form. */
-  def q74InvertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = when(col("text").isNull || norm === "",
-      array().cast("array<string>")).otherwise(split(norm, " "))
+  def q74InvertedIndex(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"), explode(normToks(lowercase = true)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .orderBy(col("term"), col("doc_id"))
-  }
 
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */

@@ -84,6 +84,24 @@ private object SemOracleSql {
       "hl" -> xor64("u4", shr("u4", 32)))
   }
 
+  /** XXH64 of one 8-byte value in column `in` with the seed given as an
+    * SQL expression (a column for the chained second value of Spark's
+    * multi-argument xxhash64) — the ShuffleOracleSql q62 machinery. */
+  private def seededStages(in: String, seedExpr: String, out: String,
+      tag: String): Seq[(String, String)] = Seq(
+    s"b$tag" -> addc(seedExpr, P5 + 8),
+    s"t1$tag" -> mul64(in, P2),
+    s"t2$tag" -> rotl(s"t1$tag", 31),
+    s"t3$tag" -> mul64(s"t2$tag", P1),
+    s"t4$tag" -> xor64(s"b$tag", s"t3$tag"),
+    s"t5$tag" -> rotl(s"t4$tag", 27),
+    s"t6$tag" -> addc(mul64(s"t5$tag", P1), P4),
+    s"u1$tag" -> xor64(s"t6$tag", shr(s"t6$tag", 33)),
+    s"u2$tag" -> mul64(s"u1$tag", P2),
+    s"u3$tag" -> xor64(s"u2$tag", shr(s"u2$tag", 29)),
+    s"u4$tag" -> mul64(s"u3$tag", P3),
+    out -> xor64(s"u4$tag", shr(s"u4$tag", 32)))
+
   /** q58's oracle: the SAME Spark-exact xxhash64(long) chain over doc_id,
     * signed compare, bottom-64 — the standalone gate for the consistent-
     * sample primitive q51's centroid pick already uses. */
@@ -125,25 +143,32 @@ private object SemOracleSql {
   }
 
   /** q68's oracle: weight = least(8, 1 + bytes//512), per-replica
-    * Spark-exact xxhash64(64·doc_id + r) via the same chain, signed min
-    * per doc, bottom-64 by (key, doc_id). DuckDB's `strlen` is bytes
-    * (Spark's octet_length); `//` is floor division on BIGINT — both
-    * exact on the nonnegative inputs here. */
+    * Spark-exact TWO-argument xxhash64(doc_id, r) — XXH64(r, seed =
+    * XXH64(doc_id, 42)), the q62 seeded-chain form, so no arithmetic on
+    * ids that could overflow or collide — signed min per doc, bottom-64
+    * by (key, doc_id). DuckDB's `strlen` is bytes (Spark's
+    * octet_length); `//` is floor division on BIGINT. */
   val q68Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "wt"), hashLongStages, "sx")
+    val (c1, last1) = chain("ids", Seq("doc_id", "wt", "h", "h2"),
+      seededStages("h", "42", "hl", "a"), "sx")
+    val (c2, last2) = chain(last1, Seq("doc_id", "wt", "h2", "hl"),
+      seededStages("h2", "hl", "hl2", "b"), "sy")
     s"""
       WITH w AS (
         SELECT doc_id,
                least(8, 1 + coalesce(strlen(text), 0) // 512) AS wt
         FROM documents),
       reps AS (SELECT doc_id, wt, unnest(range(0, wt)) AS r FROM w),
-      ids AS (SELECT doc_id, wt, CAST(64 * doc_id + r AS HUGEINT) AS h FROM reps),
-      $hlCtes,
+      ids AS (SELECT doc_id, wt, CAST(doc_id AS HUGEINT) AS h,
+                     CAST(r AS HUGEINT) AS h2
+              FROM reps),
+      $c1,
+      $c2,
       hsigned AS (
         SELECT doc_id, wt,
-               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
-                         ELSE 0::HUGEINT END AS hs
-        FROM $hlLast)
+               hl2 - CASE WHEN hl2 >= ${BigInt(1) << 63} THEN $M64s
+                          ELSE 0::HUGEINT END AS hs
+        FROM $last2)
       SELECT doc_id, CAST(wt AS BIGINT) AS wt, CAST(min(hs) AS BIGINT) AS key64
       FROM hsigned
       GROUP BY doc_id, wt
@@ -152,13 +177,17 @@ private object SemOracleSql {
   }
 
   /** q69's oracle: same tokenization as the q65/q66 oracles (collapse
-    * \s+ → single space, trim, split), two Spark-exact xxhash64(2·doc_id
-    * + k) cuts via the chain (unnested to rows, pivoted back), Spark's
-    * pmod as ((hs % m) + m) % m, DuckDB 1-based inclusive list slices ≡
+    * \s+ → single space, trim, split), two Spark-exact TWO-argument
+    * xxhash64(doc_id, k) cuts via the q62 seeded chain (no id
+    * arithmetic; unnested to rows, pivoted back), Spark's pmod as
+    * ((hs % m) + m) % m, DuckDB 1-based inclusive list slices ≡
     * Spark's slice(start, length) for these bounds, and the identical
     * sentinel concat. */
   val q69Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "k"), hashLongStages, "sx")
+    val (c1, last1) = chain("ids", Seq("doc_id", "k", "h", "h2"),
+      seededStages("h", "42", "hl", "a"), "sx")
+    val (c2, last2) = chain(last1, Seq("doc_id", "k", "h2", "hl"),
+      seededStages("h2", "hl", "hl2", "b"), "sy")
     s"""
       WITH toks AS (
         SELECT doc_id,
@@ -171,13 +200,16 @@ private object SemOracleSql {
         FROM documents),
       nn AS (SELECT doc_id, t, len(t) AS n FROM toks),
       reps AS (SELECT doc_id, unnest([0, 1]) AS k FROM nn),
-      ids AS (SELECT doc_id, k, CAST(2 * doc_id + k AS HUGEINT) AS h FROM reps),
-      $hlCtes,
+      ids AS (SELECT doc_id, k, CAST(doc_id AS HUGEINT) AS h,
+                     CAST(k AS HUGEINT) AS h2
+              FROM reps),
+      $c1,
+      $c2,
       hsigned AS (
         SELECT doc_id, k,
-               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
-                         ELSE 0::HUGEINT END AS hs
-        FROM $hlLast),
+               hl2 - CASE WHEN hl2 >= ${BigInt(1) << 63} THEN $M64s
+                          ELSE 0::HUGEINT END AS hs
+        FROM $last2),
       cuts AS (
         SELECT doc_id,
                max(CASE WHEN k = 0 THEN hs END) AS h0,
@@ -235,8 +267,11 @@ private object SemOracleSql {
   }
 
   /** q72's oracle: the KMV estimate rebuilt relationally — per-token
-    * FNV-1a folded over the token's bytes with list_reduce (bit-exact vs
-    * ExprOps.fnv64 on the ASCII corpus; the engine's blank-doc single
+    * FNV-1a folded over the token's CHARACTERS with list_reduce —
+    * range/substr/ord all at character granularity, so the fold is
+    * well-defined for any input and ≡ the engine's byte fold
+    * (ExprOps.fnv64 over UTF-8) exactly on ASCII corpora (the engine's
+    * blank-doc single
     * empty-gram case is the [''] token whose fold is the FNV offset
     * basis), DISTINCT per source, unsigned rank, the 256 smallest, and
     * the all-integer HUGEINT estimate — no doubles anywhere. */
@@ -259,7 +294,7 @@ private object SemOracleSql {
         SELECT source,
                list_reduce(
                  list_prepend(CAST($fnvOffset AS HUGEINT),
-                   list_transform(range(1, strlen(s) + 1),
+                   list_transform(range(1, length(s) + 1),
                      i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
                  (h, b) -> $fold) AS h
         FROM tok),

@@ -306,6 +306,12 @@ object EventStreams {
             st = RateState(hUs + HourUs, (st.ring :+ n).takeRight(24))
           }
           byHour.foreach { case (hUs, n) =>
+            // reject misaligned rows BEFORE touching state: one off-grid
+            // row would silently re-anchor the grid and poison the ring
+            if ((hUs - g0) % HourUs != 0)
+              throw new IllegalArgumentException(
+                s"hour row for $typ not on the grid anchored at " +
+                  s"$gridStart: ${new Timestamp(hUs / 1000)}")
             if (hUs < st.nextHourUs)
               throw new IllegalStateException(
                 s"late hour for $typ: ${new Timestamp(hUs / 1000)} after " +

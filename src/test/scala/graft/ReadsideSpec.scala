@@ -1132,8 +1132,13 @@ class ReadsideSpec extends SparkSpec {
       s"missing=${(expect -- got.toSet).take(2)} extra=${(got.toSet -- expect).take(2)}")
     // a term present in every source must score exactly 0 (ln 1)
     scored.filter(x => x._4 == nSrc.toLong).foreach(x => assert(x._5 == 0L, s"shared term scored: $x"))
-    // and every top-1 term must beat or match its source's median score
-    assert(got.groupBy(_._1).forall(_._2.length <= 10))
+    // ranking boundary: every returned score >= the source's 11th-best
+    // (the cut really is a top-10 by score, not some other ordering)
+    val bySrcScores = scored.groupBy(_._1).view.mapValues(_.map(_._5).sorted(Ordering[Long].reverse)).toMap
+    got.foreach { case (src, _, _, _, sc) =>
+      val all = bySrcScores(src)
+      if (all.length > 10) assert(sc >= all(10), s"$src returned score $sc below the 11th-best ${all(10)}")
+    }
   }
 
   test("q72 KMV distinct: sketch equals a relational reimplementation; accurate; exact below k; merge-order-free") {
@@ -1230,7 +1235,7 @@ class ReadsideSpec extends SparkSpec {
           floor(coalesce(octet_length($"text"), lit(0)) / 512)).as("wt"))
       .withColumn("r", explode(sequence(lit(0L), $"wt" - 1)))
       .groupBy($"doc_id", $"wt")
-      .agg(min(xxhash64($"doc_id" * 64 + $"r")).as("key64"))
+      .agg(min(xxhash64($"doc_id", $"r")).as("key64"))
       .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
     val expect = keys.sorted.take(64).map { case (k, id, w) => (id, w, k) }
     val got = SparkEntry.queries("q68_weighted_sample")(spark, dir)
@@ -1239,7 +1244,7 @@ class ReadsideSpec extends SparkSpec {
     // the replica trick's point: key ≤ the doc's unit (r=0) draw, so a
     // doc can only move INTO the sample as its weight grows
     val unit = spark.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", xxhash64($"doc_id" * 64).as("u"))
+      .select($"doc_id", xxhash64($"doc_id", lit(0L)).as("u"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     keys.foreach { case (k, id, w) =>
       assert(w >= 1 && w <= 8 && k <= unit(id),
