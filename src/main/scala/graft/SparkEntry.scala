@@ -91,6 +91,8 @@ object SparkEntry {
     "q72_kmv_distinct" -> (Queries.q72KmvDistinct _),
     "q73_tfidf_terms" -> (Queries.q73TfidfTerms _),
     "q74_inverted_index" -> (Queries.q74InvertedIndex _),
+    "q75_vocab_growth" -> (Queries.q75VocabGrowth _),
+    "q76_bigram_lm" -> (Queries.q76BigramLm _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -1243,6 +1243,58 @@ object OracleSql {
       SELECT term, doc_id, tf,
              CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
       FROM tf
-      ORDER BY term, doc_id"""
+      ORDER BY term, doc_id""",
+
+    // vocabulary growth: Heaps-law data card per source — tokens, types,
+    // hapax, and the two ratios in exact integer ×10⁴ (BIGINT //).
+    "q75_vocab_growth" -> """
+      WITH toks AS (
+        SELECT source,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents WHERE source IS NOT NULL),
+      g AS (SELECT source, unnest(t) AS tok FROM toks),
+      tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM g GROUP BY source, tok)
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             CAST(count(*) * 10000 // sum(cnt) AS BIGINT) AS ttr_x1e4,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+                  AS BIGINT) AS hapax_x1e4
+      FROM tf GROUP BY source ORDER BY source""",
+
+    // bigram LM: per head token (>= 5 occurrences as a head) the argmax
+    // follower and its exact-integer ×10⁴ conditional probability.
+    "q76_bigram_lm" -> """
+      WITH toks AS (
+        SELECT CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      filt AS (SELECT t FROM toks WHERE len(t) >= 2),
+      idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM filt),
+      bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+      c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+      h AS (SELECT w1, w2, c12,
+                   CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+            FROM c),
+      r AS (SELECT w1, w2, c1, c12,
+                   row_number() OVER (PARTITION BY w1
+                                      ORDER BY c12 DESC, w2) AS rn
+            FROM h WHERE c1 >= 5)
+      SELECT w1, w2, c1, c12,
+             CAST(c12 * 10000 // c1 AS BIGINT) AS p_x1e4
+      FROM r WHERE rn = 1
+      ORDER BY w1"""
   )
 }

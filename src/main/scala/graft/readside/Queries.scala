@@ -1805,6 +1805,69 @@ object Queries {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .orderBy(col("term"), col("doc_id"))
 
+  /** q75: VOCABULARY-GROWTH statistics per source — the Heaps-law data
+    * card: total tokens, distinct types, hapax legomena (types seen
+    * once), type-token ratio and hapax fraction as ×10⁴ integers. The
+    * per-source lexical-diversity report a mixture designer reads next
+    * to q73's characteristic terms: a low TTR flags boilerplate/spam
+    * sources, a high hapax fraction flags OCR noise or code. Sources
+    * whose documents are all blank contribute no tokens and drop out
+    * (both engines agree by construction — no 0-division anywhere).
+    *
+    * Scale shape: ONE corpus-sized exchange — the (source, tok) hash agg
+    * with map-side combine; the per-source rollup runs at VOCABULARY
+    * grain. All-integer outputs (BIGINT `div`), so the oracle is the
+    * plain relational form. */
+  def q75VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").isNotNull)
+      .select(col("source"), explode(normToks(lowercase = true)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 10000 div n_tokens").as("ttr_x1e4"),
+        expr("n_hapax * 10000 div n_types").as("hapax_x1e4"))
+      .orderBy(col("source"))
+
+  /** q76: BIGRAM-LM next-token table — for every token w1 occurring ≥ 5
+    * times as a bigram head, the most frequent follower w2 and the
+    * conditional probability P(w2|w1) as a ×10⁴ integer (exact BIGINT
+    * division — no floats anywhere). The cheapest useful language model:
+    * its argmax table drives autocomplete-style quality probes and the
+    * "predictable text" redundancy signal (q44's repetition rule is the
+    * within-document sibling; this is the corpus-level one). Ties break
+    * to the lexicographically smaller follower.
+    *
+    * Scale shape: bigrams never exist as a materialized corpus — one
+    * exchange at (w1, w2) grain with map-side combine; head totals are a
+    * w1-partitioned window over the aggregate (vocabulary grain) and the
+    * argmax a row_number over the same partitioning, so both window
+    * passes reuse ONE sort within the same exchange. */
+  def q76BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val wHead = Window.partitionBy(col("w1"))
+    t(s, dir, "documents")
+      .select(normToks(lowercase = true).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+           (a, b) -> named_struct('w1', a, 'w2', b))""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(wHead))
+      .filter(col("c1") >= 5)
+      .withColumn("rn", row_number().over(wHead.orderBy(col("c12").desc, col("w2"))))
+      .filter(col("rn") === 1)
+      .select(col("w1"), col("w2"), col("c1").cast("bigint").as("c1"),
+        col("c12"), expr("c12 * 10000 div c1").as("p_x1e4"))
+      .orderBy(col("w1"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -1048,6 +1048,64 @@ class ReadsideSpec extends SparkSpec {
     assert(e.filter(x => x._1 == 1 || x._1 == 3).forall(_._3 == "<PRE><SUF><MID>"))
   }
 
+  test("q75 vocab growth: equals a driver reimplementation; hapax <= types <= tokens; ratios bounded") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
+      .filter($"source".isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val tf = docs.flatMap { case (s, t) =>
+      if (t.isEmpty) Nil else t.split(" ").toSeq.map(tok => (s, tok))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = tf.toSeq.groupBy(_._1._1).map { case (src, xs) =>
+      val nTok = xs.map(_._2).sum
+      val nTyp = xs.length.toLong
+      val nHap = xs.count(_._2 == 1L).toLong
+      (src, nTok, nTyp, nHap, nTyp * 10000 / nTok, nHap * 10000 / nTyp)
+    }.toSet
+    val got = SparkEntry.queries("q75_vocab_growth")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(2)} extra=${(got.toSet -- expect).take(2)}")
+    got.foreach { case (src, nTok, nTyp, nHap, ttr, hap) =>
+      assert(nHap <= nTyp && nTyp <= nTok, s"$src ordering violated")
+      assert(ttr >= 1 && ttr <= 10000 && hap >= 0 && hap <= 10000, s"$src ratios out of range")
+    }
+  }
+
+  test("q76 bigram LM: equals a driver reimplementation; probability sums bounded; lexicographic tie-break") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
+      .collect().map(_.getString(0))
+    val bg = docs.flatMap { t =>
+      val toks = if (t.isEmpty) Array.empty[String] else t.split(" ")
+      if (toks.length < 2) Nil else toks.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val c12 = bg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = c12.toSeq.groupBy(_._1._1).collect {
+      case (w1, xs) if c1(w1) >= 5 =>
+        val (key, n) = xs.minBy { case ((_, w2), n) => (-n, w2) }
+        (w1, key._2, c1(w1), n, n * 10000 / c1(w1))
+    }.toSet
+    val got = SparkEntry.queries("q76_bigram_lm")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(2)} extra=${(got -- expect).take(2)}")
+    // the argmax follower's share can never be below 1/|vocab following w1|
+    got.foreach { case (w1, _, c1v, c12v, p) =>
+      assert(c12v <= c1v && p == c12v * 10000 / c1v, s"$w1 inconsistent counts")
+    }
+    // engineered tie: "x a x b" twice + filler so c1(x) >= 5 -> follower 'a'
+    val tmp = java.nio.file.Files.createTempDirectory("q76eng").toString
+    Seq((1L, "x a x b x a x b x c"), (2L, null.asInstanceOf[String]), (3L, "solo"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val e = SparkEntry.queries("q76_bigram_lm")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toList
+    assert(e.contains(("x", "a", 4000L)), s"tie-break/probability wrong: $e")
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
