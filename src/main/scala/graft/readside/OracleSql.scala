@@ -1295,6 +1295,11 @@ object OracleSql {
       SELECT w1, w2, c1, c12,
              CAST(c12 * 10000 // c1 AS BIGINT) AS p_x1e4
       FROM r WHERE rn = 1
-      ORDER BY w1"""
+      ORDER BY w1""",
+
+    // count-min sketch: content rebuilt relationally at vocabulary grain
+    // (FNV token hash + the validated 2-arg xxhash64 row chain), probe
+    // estimates = min over the d cells; exact side grouped by hash.
+    "q77_cms_freq" -> SketchOracleSql.q77Sql
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{EcliFunctions, SimilarityFunctions, TextFunctions, UrlFunctions}
-import graft.expressions.{GraftFunctions, KmvAggregator}
+import graft.expressions.{CmsAggregator, GraftFunctions, KmvAggregator}
 
 /** The read-side query surface (SURVEY.md §2.4-§2.8 + the training-data
   * pipeline operators), one function per operator, each with a DuckDB
@@ -1866,6 +1866,48 @@ object Queries {
       .select(col("w1"), col("w2"), col("c1").cast("bigint").as("c1"),
         col("c12"), expr("c12 * 10000 div c1").as("p_x1e4"))
       .orderBy(col("w1"))
+  }
+
+  /** q77: COUNT-MIN-SKETCH term frequencies — build one 4×1024 CMS over
+    * the corpus's token-occurrence stream with the
+    * [[graft.expressions.CmsAggregator]], then answer point queries for a
+    * deterministic probe set (the distinct tokens of every 17th
+    * document), reporting the exact count next to the sketch estimate.
+    * The at-scale frequency primitive: an exact per-token count shuffles
+    * the whole vocabulary; the CMS crosses the exchange as ONE 32 KB
+    * matrix per partition and answers any point query from it (est ≥
+    * exact always — CMS never underestimates).
+    *
+    * Scale shape: sketch build is a map-side pass over the native
+    * token-hash stream (2-phase ObjectHashAggregate, matrix partials
+    * only); the probe set broadcasts into the exact-count pass; estimates
+    * are computed DECLARATIVELY — bucket indices via the built-in
+    * `xxhash64(h, r)` + `pmod` over the broadcast matrix, no UDF on the
+    * query path. Exactness of `exact_n` is per 64-bit FNV token key
+    * (q24/q72's collision caveat). Oracle: the sketch content rebuilt
+    * relationally at vocabulary grain ([[SketchOracleSql.q77Sql]] —
+    * FNV char fold + the validated two-argument xxhash64 chain). */
+  def q77CmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val docs = t(s, dir, "documents")
+    val occ = docs.select(
+      explode(GraftFunctions.wordNgramHashSeq(col("text"), 1)).as("h"))
+    val sketch = occ.agg(CmsAggregator.cmsAgg(col("h"), d, w).as("sk"))
+    val probes = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(explode(normToks(lowercase = true)).as("tok")).distinct()
+      .withColumn("h", element_at(GraftFunctions.wordNgramHashes(col("tok"), 1), 1))
+    val exact = occ.join(broadcast(probes), Seq("h"))
+      .groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_n"))
+    val est = least((0 until d).map { r =>
+      element_at(col("sk"),
+        (lit(r * w) + pmod(xxhash64(col("h"), lit(r.toLong)), lit(w.toLong)) + 1)
+          .cast("int"))
+    }: _*)
+    exact.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_n"), est.cast("bigint").as("est_n"))
+      .orderBy(col("tok"))
   }
 
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision

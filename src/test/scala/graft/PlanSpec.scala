@@ -137,6 +137,23 @@ class PlanSpec extends SparkSpec {
       s"only the ≤256-long per-partition sketches may shuffle, keyed on source:\n$p")
   }
 
+  test("q77: the CMS matrix crosses the build exchange, never the token stream; probe side broadcasts") {
+    val p = planExec(Queries.q77CmsFreq(spark, dir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial + final object hash aggregation for the sketch build:\n$p")
+    // the sketch build folds to single-partition matrix partials (never a
+    // keyed shuffle of the occurrence stream), and every hash exchange in
+    // the plan is PROBE-grain (keyed on tok) after a map-side partial —
+    // the raw h stream itself must never be an exchange key
+    assert(p.contains("Exchange SinglePartition"),
+      s"sketch partials must fold via single-partition merge:\n$p")
+    assert("Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p)
+      .forall(_.contains("tok#")),
+      s"every keyed exchange must be probe-token grain:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"probe set and sketch must broadcast, not shuffle:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

@@ -1106,6 +1106,52 @@ class ReadsideSpec extends SparkSpec {
     assert(e.contains(("x", "a", 4000L)), s"tie-break/probability wrong: $e")
   }
 
+  test("q77 CMS: equals a driver reimplementation; never underestimates; merge is order-free and elementwise") {
+    import graft.expressions.{CmsAggregator, CmsBuf, ExprOps, GraftFunctions}
+    val d = 4; val w = 1024
+    // the engine's exact occurrence stream
+    val hs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(GraftFunctions.wordNgramHashSeq($"text", 1)).as("h"))
+      .collect().map(_.getLong(0))
+    val cells = new Array[Long](d * w)
+    hs.foreach(h => (0 until d).foreach(r =>
+      cells(r * w + CmsAggregator.bucket(h, r, w)) += 1))
+    def est(h: Long): Long =
+      (0 until d).map(r => cells(r * w + CmsAggregator.bucket(h, r, w))).min
+    val hcnt = hs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def fnv(tok: String): Long = {
+      val b = tok.getBytes("UTF-8"); ExprOps.fnv64(b, 0, b.length)
+    }
+    val got = SparkEntry.queries("q77_cms_freq")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (tok, exact, e) =>
+      val h = fnv(tok)
+      assert(exact == hcnt(h), s"$tok exact_n")
+      assert(e == est(h), s"$tok est_n: engine $e driver ${est(h)}")
+      assert(e >= exact, s"$tok CMS underestimated: $e < $exact")
+    }
+    // the aggregator's own bucket chain must equal the declarative probe
+    // expression (Column xxhash64(h, r) + pmod) the query reads with
+    val sampleHs = hs.distinct.take(16)
+    val viaCol = spark.range(1).select(
+      sampleHs.flatMap(h => (0 until d).map(r =>
+        pmod(xxhash64(lit(h), lit(r.toLong)), lit(w.toLong)))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val viaAgg = sampleHs.flatMap(h => (0 until d).map(r =>
+      CmsAggregator.bucket(h, r, w).toLong))
+    assert(viaCol == viaAgg.toSeq, "aggregator hash chain != Column xxhash64 chain")
+    // merge algebra: splitting the stream arbitrarily never changes cells
+    val agg = new CmsAggregator(d, w)
+    def fold(xs: Seq[Long]): CmsBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = hs.splitAt(hs.length / 3)
+    val ab = agg.merge(fold(l.toSeq), fold(r.toSeq))
+    val ba = agg.merge(fold(r.toSeq), fold(l.toSeq))
+    assert(ab.cells.toSeq == ba.cells.toSeq, "merge not commutative")
+    assert(ab.cells.toSeq == cells.toSeq, "merged partials != single-pass build")
+    assert(ab.cells.sum == hs.length.toLong * d, "mass conservation per row")
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
