@@ -1300,6 +1300,50 @@ object OracleSql {
     // count-min sketch: content rebuilt relationally at vocabulary grain
     // (FNV token hash + the validated 2-arg xxhash64 row chain), probe
     // estimates = min over the d cells; exact side grouped by hash.
-    "q77_cms_freq" -> SketchOracleSql.q77Sql
+    "q77_cms_freq" -> SketchOracleSql.q77Sql,
+
+    // postings similarity: df-cut tf-idf cosine over the inverted index —
+    // integer weights/dots/norms, ONE shared double parenthesization for
+    // the cosine, top-100 with a total tiebreak.
+    "q78_postings_sim" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents),
+      g AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+             FROM g GROUP BY term, doc_id),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      dfr AS (SELECT term, doc_id, tf,
+                     CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+              FROM tf),
+      posts AS (
+        SELECT term, doc_id,
+               tf * CAST(floor(ln(nd / CAST(df AS DOUBLE)) * 10000 + 0.5)
+                         AS BIGINT) AS w
+        FROM dfr CROSS JOIN n
+        WHERE df <= 64),
+      norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+                FROM posts GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        FROM posts a JOIN posts b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT p.d1, p.d2,
+             CAST(floor(CAST(p.dot AS DOUBLE) /
+                        sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) *
+                        10000 + 0.5) AS BIGINT) AS cos_x1e4
+      FROM pairs p
+      JOIN norms x ON x.doc_id = p.d1
+      JOIN norms y ON y.doc_id = p.d2
+      ORDER BY cos_x1e4 DESC, d1, d2
+      LIMIT 100"""
   )
 }

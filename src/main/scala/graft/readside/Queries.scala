@@ -1910,6 +1910,56 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  /** q78: ALL-PAIRS document similarity over the INVERTED INDEX — sparse
+    * tf·idf cosine between documents that share at least one rare term,
+    * computed relationally from q74's postings (the similarity-join the
+    * index build exists to serve): weight w = tf · idf_x1e4 (idf the q73
+    * ln discipline, half-up ×10⁴ integer), dot products and norms exact
+    * BIGINT sums, cosine composed in ONE shared parenthesization
+    * `CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) · CAST(n2 AS
+    * DOUBLE))`, top-100 pairs by (cos desc, d1, d2).
+    *
+    * Scale shape: the DF-CUT (terms with df > 64 never enter the pair
+    * join — the standard all-pairs prefix trick: stop-terms generate
+    * quadratic candidate mass but carry near-zero idf) bounds every
+    * posting list, so the term-keyed self-join emits ≤ df²/2 pairs per
+    * term; the join reuses the df-window's term partitioning (no extra
+    * exchange), pairs aggregate once on (d1, d2), and the two norm
+    * lookups join a pair-grain stream against the doc-grain norm table
+    * (AQE broadcasts it at small SF; sort-merge at 100 TB). */
+  def q78PostingsSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val dfCut = 64
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // driver scalar: idf's corpus constant
+    val tf = docs
+      .select(col("doc_id"), explode(normToks(lowercase = true)).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val posts = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df") <= dfCut)
+      .withColumn("idf_x1e4",
+        floor(log(lit(nDocs.toDouble) / col("df").cast("double")) * 10000 + 0.5)
+          .cast("bigint"))
+      .select(col("term"), col("doc_id"), (col("tf") * col("idf_x1e4")).as("w"))
+    val norms = posts.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = posts.as("a")
+      .join(posts.as("b"), col("a.term") === col("b.term") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.withColumnRenamed("doc_id", "d1").withColumnRenamed("n2", "na"), "d1")
+      .join(norms.withColumnRenamed("doc_id", "d2").withColumnRenamed("n2", "nb"), "d2")
+      .select(col("d1"), col("d2"),
+        floor(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")) * 10000 + 0.5)
+          .cast("bigint").as("cos_x1e4"))
+      .orderBy(col("cos_x1e4").desc, col("d1"), col("d2"))
+      .limit(100)
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

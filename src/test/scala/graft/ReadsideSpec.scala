@@ -1152,6 +1152,39 @@ class ReadsideSpec extends SparkSpec {
     assert(ab.cells.sum == hs.length.toLong * d, "mass conservation per row")
   }
 
+  test("q78 postings similarity: equals a driver reimplementation; bounded cosine; df-cut really cuts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toDouble
+    val tf = docs.flatMap { case (id, t) =>
+      if (t.isEmpty) Nil else t.split(" ").toSeq.map(tok => ((id, tok), 1L))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val posts = tf.toSeq.collect { case ((id, term), f) if df(term) <= 64 =>
+      (term, id, f * math.floor(math.log(nDocs / df(term).toDouble) * 10000 + 0.5).toLong)
+    }
+    assert(df.values.exists(_ > 64), "fixture must exercise the df-cut")
+    val norms = posts.groupBy(_._2).view.mapValues(_.map(w => w._3 * w._3).sum).toMap
+    val dots = posts.groupBy(_._1).values.flatMap { ps =>
+      for (a <- ps; b <- ps if a._2 < b._2) yield ((a._2, b._2), a._3 * b._3)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val scored = dots.toSeq.map { case ((d1, d2), dot) =>
+      (d1, d2, math.floor(dot.toDouble /
+        math.sqrt(norms(d1).toDouble * norms(d2).toDouble) * 10000 + 0.5).toLong)
+    }
+    val expect = scored.sortBy(x => (-x._3, x._1, x._2)).take(100).toSet
+    val got = SparkEntry.queries("q78_postings_sim")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == math.min(100, scored.length))
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(2)} extra=${(got.toSet -- expect).take(2)}")
+    got.foreach { case (d1, d2, c) =>
+      assert(d1 < d2, "pair orientation")
+      assert(c >= 0 && c <= 10000, s"cosine out of range: $c")
+    }
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
