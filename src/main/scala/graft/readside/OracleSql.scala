@@ -1344,6 +1344,10 @@ object OracleSql {
       JOIN norms x ON x.doc_id = p.d1
       JOIN norms y ON y.doc_id = p.d2
       ORDER BY cos_x1e4 DESC, d1, d2
-      LIMIT 100"""
+      LIMIT 100""",
+
+    // integer-grid Lloyd k-means: seeds, both rounds, and the final
+    // assignment replicated exactly (generated staged SQL).
+    "q79_kmeans" -> SemOracleSql.q79Sql
   )
 }

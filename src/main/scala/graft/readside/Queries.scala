@@ -1960,6 +1960,64 @@ object Queries {
       .limit(100)
   }
 
+  /** q79: DISTRIBUTED K-MEANS (Lloyd) over the embedding table on an
+    * EXACT INTEGER GRID — the corpus-clustering primitive behind
+    * semantic mixing/curricula (q51's quantizer is one assignment pass;
+    * this iterates). Coordinates quantize to floor(x·10⁶) BIGINTs, so
+    * squared-Euclidean distances, argmins, and centroid updates are all
+    * exact integer arithmetic: k = 8 seeds are the hash-ranked bottom-k
+    * by xxhash64(vec_id) (q51/q58's consistent pick), two Lloyd rounds
+    * run assign → update with centroids floored back onto the grid via
+    * `(v − pmod(v, n)) div n` (sign-safe floor division, identical in
+    * both engines), empty clusters keep their previous centroid, ties
+    * break to the smaller centroid id. Deterministic end to end — no
+    * RNG, no float accumulation order — so the whole ITERATION is
+    * value-exact oracle-checkable, not just the final projection.
+    *
+    * Scale shape: assignment is a MAP-ONLY pass — the k×dim centroid
+    * matrix is a constant-size literal (k·dim·8 bytes, the q46
+    * broadcast-scalar discipline: per-round driver state is O(k·dim),
+    * never O(rows)) folded per row with zip_with/aggregate, no explode,
+    * no 8× candidate blowup, no shuffle; the update is ONE exchange at
+    * (cid, coordinate) grain with map-side partial sums. Two rounds =
+    * two map passes + two tiny aggregations. */
+  def q79KmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+    val init = emb.withColumn("hs", xxhash64(col("vec_id")))
+      .orderBy(col("hs"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assigned(cents: Array[(Long, Array[Long])]): DataFrame = {
+      val cands = array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("v"))
+      }: _*)
+      val scored = transform(cands, c => struct(
+        aggregate(zip_with(col("q"), c.getField("v"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+        c.getField("cid").as("cid")))
+      emb.withColumn("cid", array_min(scored).getField("cid"))
+    }
+    def updated(a: DataFrame,
+        prev: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] = {
+      val sums = a.select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, sv))), x -> x.sv)").as("s"),
+          max(col("n")).as("n"))
+        .select(col("cid"),
+          expr("transform(s, v -> (v - pmod(v, n)) div n)").as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+      prev.map { case (cid, c0) => (cid, sums.getOrElse(cid, c0)) }
+    }
+    val c1 = updated(assigned(init), init)
+    val c2 = updated(assigned(c1), c1)
+    assigned(c2).select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

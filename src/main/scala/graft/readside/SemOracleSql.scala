@@ -401,4 +401,73 @@ private object SemOracleSql {
       LEFT JOIN sizes s ON s.rep = l.rep
       ORDER BY x.vec_id"""
   }
+
+  /** q79's oracle: integer-grid Lloyd replicated round by round —
+    * floor(x·10⁶) BIGINT coordinates, the same hash-ranked bottom-8 seed
+    * pick, exact integer squared distances (list_reduce with a BIGINT
+    * accumulator — list_aggregate 'sum' returns DOUBLE and is avoided),
+    * argmin as row_number (dist, cid), centroid update = per-coordinate
+    * BIGINT sums floored onto the grid with the sign-safe
+    * `(v − pmod) // n`, empty clusters carried forward by LEFT JOIN +
+    * coalesce. Two rounds, then the final assignment. */
+  val q79Sql: String = {
+    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
+    val dist =
+      """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(x.q) + 1),
+               i -> (x.q[i] - c.c[i]) * (x.q[i] - c.c[i]))),
+           (acc, dd) -> acc + dd)"""
+    def round(i: Int): String = s"""
+      a$i AS (
+        SELECT vec_id, q, cid FROM (
+          SELECT x.vec_id, x.q, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id
+                                    ORDER BY $dist, c.cid) AS rn
+          FROM e x CROSS JOIN cent$i c)
+        WHERE rn = 1),
+      u$i AS (
+        SELECT cid, i, CAST(sum(v) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT cid, unnest(q) AS v,
+                     unnest(range(1, len(q) + 1)) AS i
+              FROM a$i)
+        GROUP BY cid, i),
+      s$i AS (SELECT cid, list(sv ORDER BY i) AS s, max(n) AS n
+              FROM u$i GROUP BY cid),
+      cent${i + 1} AS (
+        SELECT p.cid,
+               coalesce(list_transform(s.s,
+                 v -> (v - ((v % s.n) + s.n) % s.n) // s.n), p.c) AS c
+        FROM cent$i p LEFT JOIN s$i s ON s.cid = p.cid)"""
+    s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+      ids AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS h FROM e),
+      $hlCtes,
+      hsigned AS (
+        SELECT vec_id,
+               hl - CASE WHEN hl >= ${BigInt(1) << 63} THEN $M64s
+                         ELSE 0::HUGEINT END AS hs
+        FROM $hlLast),
+      cent0 AS (
+        SELECT r.vec_id AS cid, e.q AS c
+        FROM (SELECT vec_id, row_number() OVER (ORDER BY hs, vec_id) AS rn
+              FROM hsigned) r
+        JOIN e ON e.vec_id = r.vec_id
+        WHERE r.rn <= 8),
+      ${round(0)},
+      ${round(1)},
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT x.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY x.vec_id
+                                    ORDER BY $dist, c.cid) AS rn
+          FROM e x CROSS JOIN cent2 c)
+        WHERE rn = 1)
+      SELECT vec_id, cid FROM a2 ORDER BY vec_id"""
+  }
 }

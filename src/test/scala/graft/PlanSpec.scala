@@ -154,6 +154,14 @@ class PlanSpec extends SparkSpec {
       s"probe set and sketch must broadcast, not shuffle:\n$p")
   }
 
+  test("q79: the final k-means assignment pass is map-only — centroid literals folded per row") {
+    val p = planExec(Queries.q79KmeansLloyd(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Generate"),
+      s"assignment must fold the k×dim literal per row — no shuffle, no explode:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no candidate blowup join allowed in the assignment pass:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

@@ -1185,6 +1185,49 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q79 k-means: equals a driver Lloyd reimplementation; final assignment is argmin-optimal; deterministic") {
+    val k = 8
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding", xxhash64($"vec_id").as("hs"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray,
+        r.getLong(2)))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var cents = vecs.sortBy(v => (v._3, v._1)).take(k)
+      .map(v => (v._1, v._2)).toSeq
+    def assign() = vecs.map(v =>
+      (v._1, v._2, cents.map(c => (d2(v._2, c._2), c._1)).min._2))
+    for (_ <- 0 until 2) {
+      val byC = assign().groupBy(_._3)
+      cents = cents.map { case (cid, c0) =>
+        byC.get(cid) match {
+          case Some(ms) =>
+            val n = ms.length.toLong
+            val s = c0.indices.map(i => ms.map(_._2(i)).sum).toArray
+            (cid, s.map(v => (v - (((v % n) + n) % n)) / n))
+          case None => (cid, c0)
+        }
+      }
+    }
+    val expect = assign().map(v => (v._1, v._3)).toSet
+    val got = SparkEntry.queries("q79_kmeans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
+    // argmin optimality against the FINAL centroids (not just label equality)
+    val cm = cents.toMap
+    got.foreach { case (id, cid) =>
+      val q = vecs.find(_._1 == id).get._2
+      val best = cents.map(c => (d2(q, c._2), c._1)).min
+      assert((d2(q, cm(cid)), cid) == best, s"vec $id not assigned to its nearest centroid")
+    }
+    assert(got.map(_._2).distinct.length <= k)
+    val again = SparkEntry.queries("q79_kmeans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq, "nondeterministic across runs")
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
