@@ -365,6 +365,44 @@ object EventStreams {
         })
   }
 
+  case class CmsPoint(source: String, version: Long, h: Long, est_n: Long)
+
+  /** The streaming twin of [[graft.readside.Queries.q77CmsFreq]]:
+    * per-source count-min-sketch frequency estimation over an unbounded
+    * stream of token hashes. The d×w counter matrix IS the keyed state —
+    * [[graft.expressions.CmsAggregator]]'s buffer resumed across
+    * micro-batches; counter addition is insertion-order-free, so folding
+    * batch after batch into state is IDENTICAL to the batch aggregate
+    * over the concatenated stream (StreamingSpec proves final estimates
+    * equal a single-pass build on the same rows), and the CMS guarantee
+    * (estimate ≥ exact, never under) holds at every prefix.
+    *
+    * Each batch emits the current estimate for every probe hash, stamped
+    * with the monotone `version` = hashes seen (the [[streamingHeavyHitters]]
+    * convention: consumers read max-version per source). Scale shape:
+    * state is ONE fixed d·w matrix per source regardless of stream
+    * length; the token stream reaches the state store pre-hashed and is
+    * never re-shuffled elsewhere. */
+  def streamingCmsFreq(tokenHashes: Dataset[(String, Long)], probes: Seq[Long],
+      d: Int = 4, w: Int = 1024): Dataset[CmsPoint] = {
+    val spark = tokenHashes.sparkSession
+    import spark.implicits._
+    val agg = new graft.expressions.CmsAggregator(d, w)
+    tokenHashes.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long)],
+            state: GroupState[(graft.expressions.CmsBuf, Long)]) => {
+          var (buf, seen) = state.getOption.getOrElse((agg.zero, 0L))
+          rows.foreach { case (_, h) => agg.reduce(buf, h); seen += 1 }
+          state.update((buf, seen))
+          probes.iterator.map { h =>
+            val est = (0 until d).map(r =>
+              buf.cells(r * w + graft.expressions.CmsAggregator.bucket(h, r, w))).min
+            CmsPoint(src, seen, h, est)
+          }
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

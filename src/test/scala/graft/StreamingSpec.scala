@@ -247,6 +247,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS ≡ a single-pass build on the same hashes split across micro-batches; never underestimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.expressions.CmsAggregator
+    implicit val sqlCtx = spark.sqlContext
+    val d = 4; val w = 1024
+    val rows = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select($"source",
+        explode(graft.expressions.GraftFunctions.wordNgramHashSeq($"text", 1)).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val probes = rows.map(_._2).distinct.sorted.take(10).toSeq
+    // ground truth: single-pass per-source build + exact counts
+    val expect = rows.groupBy(_._1).map { case (src, xs) =>
+      val cells = new Array[Long](d * w)
+      xs.foreach(x => (0 until d).foreach(r =>
+        cells(r * w + CmsAggregator.bucket(x._2, r, w)) += 1))
+      (src, probes.map(h =>
+        (h, (0 until d).map(r => cells(r * w + CmsAggregator.bucket(h, r, w))).min)).toMap)
+    }
+    val exact = rows.groupBy(_._1).map { case (src, xs) =>
+      (src, xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    }
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val input = MemoryStream[(String, Long)]
+    val updates = EventStreams.streamingCmsFreq(input.toDS(), probes, d, w)
+    val q = updates.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cms_test").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("cms_test")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (s, us) =>
+          val v = us.map(_._2).max
+          (s, us.filter(_._2 == v).map(r => (r._3, r._4)).toMap)
+        }
+      assert(got == expect, s"stream≠single-pass: ${got.keySet} vs ${expect.keySet}")
+      got.foreach { case (src, ests) => ests.foreach { case (h, e) =>
+        assert(e >= exact(src).getOrElse(h, 0L), s"$src/$h underestimated")
+      }}
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct ≡ batch q72 on the same hashes split across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
