@@ -96,6 +96,7 @@ object SparkEntry {
     "q77_cms_freq" -> (Queries.q77CmsFreq _),
     "q78_postings_sim" -> (Queries.q78PostingsSimilarity _),
     "q79_kmeans" -> (Queries.q79KmeansLloyd _),
+    "q80_shared_passages" -> (Queries.q80SharedPassages _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -1348,6 +1348,33 @@ object OracleSql {
 
     // integer-grid Lloyd k-means: seeds, both rounds, and the final
     // assignment replicated exactly (generated staged SQL).
-    "q79_kmeans" -> SemOracleSql.q79Sql
+    "q79_kmeans" -> SemOracleSql.q79Sql,
+
+    // cross-source shared-passage matrix: the verdict stated over gram
+    // STRINGS (the grouping the engine's 64-bit gram hash induces —
+    // q24/q65's exactness argument), pairs src_a < src_b per gram.
+    "q80_shared_passages" -> """
+      WITH toks AS (
+        SELECT source,
+               CASE WHEN text IS NULL
+                         OR trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               END AS t
+        FROM documents WHERE source IS NOT NULL),
+      idx AS (SELECT source, t, unnest(range(1, len(t) - 6)) AS i
+              FROM toks WHERE len(t) >= 8),
+      grams AS (SELECT DISTINCT source,
+                       array_to_string(t[i:i + 7], ' ') AS g
+                FROM idx),
+      bysrc AS (SELECT g, list_sort(list_distinct(list(source))) AS srcs
+                FROM grams GROUP BY g),
+      g2 AS (SELECT srcs FROM bysrc WHERE len(srcs) >= 2),
+      px AS (SELECT srcs, unnest(range(1, len(srcs) + 1)) AS i FROM g2),
+      py AS (SELECT srcs[i] AS src_a, unnest(srcs[i + 1:]) AS src_b FROM px)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM py GROUP BY src_a, src_b
+      ORDER BY src_a, src_b"""
   )
 }

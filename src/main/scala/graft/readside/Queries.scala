@@ -2018,6 +2018,40 @@ object Queries {
     assigned(c2).select(col("vec_id"), col("cid")).orderBy(col("vec_id"))
   }
 
+  /** q80: CROSS-SOURCE SHARED-PASSAGE MATRIX — for every pair of
+    * sources, how many distinct word-8-gram passages they BOTH contain:
+    * the mixing diagnostic that catches syndication, mirror feeds, and
+    * boilerplate families BETWEEN corpus slices (q61 measures novelty
+    * along time; this measures redundancy across the mixture axis — two
+    * sources sharing most of their passages should not both get full
+    * mixture weight). Docs shorter than 8 tokens contribute nothing
+    * (wordNgramHashSeq's empty-below-n contract, the q65 grain); gram
+    * identity is the 64-bit FNV hash (gram-string grouping modulo
+    * collisions — q24's exactness argument, stated over gram STRINGS in
+    * the oracle).
+    *
+    * Scale shape: gram text never exists as rows — only (source, hash)
+    * pairs shuffle, ONE gram-grain exchange with map-side-combined
+    * distinct + a gram-grain source-set agg; pair expansion runs AFTER
+    * the agg, bounded by (#sources choose 2) per gram, and the final
+    * matrix is ≤ #sources² rows. */
+  def q80SharedPassages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").isNotNull)
+      .select(col("source"),
+        explode(GraftFunctions.wordNgramHashSeq(col("text"), 8)).as("g"))
+      .distinct()
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+             transform(slice(srcs, i + 2, size(srcs) - i - 1),
+               b -> named_struct('src_a', a, 'src_b', b))))""")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("src_a"), col("src_b"))
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

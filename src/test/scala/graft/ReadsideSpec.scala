@@ -1228,6 +1228,31 @@ class ReadsideSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq, "nondeterministic across runs")
   }
 
+  test("q80 shared passages: equals a driver reimplementation; symmetric-free orientation; short docs excluded") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", coalesce(trim(regexp_replace(lower($"text"), "\\s+", " ")), lit("")).as("nt"))
+      .filter($"source".isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val grams = docs.flatMap { case (s, t) =>
+      val toks = if (t.isEmpty) Array.empty[String] else t.split(" ")
+      if (toks.length < 8) Nil
+      else toks.sliding(8).map(g => (s, g.mkString(" "))).toSeq
+    }.distinct
+    val bySrcs = grams.groupBy(_._2).view.mapValues(_.map(_._1).distinct.sorted).toMap
+    val expect = bySrcs.values.filter(_.length >= 2).flatMap { srcs =>
+      for (i <- srcs.indices; j <- (i + 1) until srcs.length) yield (srcs(i), srcs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    val got = SparkEntry.queries("q80_shared_passages")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
+    got.foreach { case (a, b, n) => assert(a < b && n >= 1, s"orientation/count: ($a,$b,$n)") }
+    // a doc with exactly 7 tokens must contribute no grams anywhere
+    assert(!grams.exists(_._2.split(" ").length < 8))
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
