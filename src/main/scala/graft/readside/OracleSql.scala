@@ -1329,7 +1329,8 @@ object OracleSql {
         FROM dfr CROSS JOIN n
         WHERE df <= 64),
       norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
-                FROM posts GROUP BY doc_id),
+                FROM posts GROUP BY doc_id
+                HAVING sum(w * w) > 0),
       pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2,
                CAST(sum(a.w * b.w) AS BIGINT) AS dot

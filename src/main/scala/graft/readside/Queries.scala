@@ -1942,8 +1942,13 @@ object Queries {
         floor(log(lit(nDocs.toDouble) / col("df").cast("double")) * 10000 + 0.5)
           .cast("bigint"))
       .select(col("term"), col("doc_id"), (col("tf") * col("idf_x1e4")).as("w"))
+    // a doc whose kept terms ALL have df = N carries a zero vector (idf 0
+    // on every kept term — possible when the corpus has ≤ dfCut docs);
+    // dropping it here keeps the cosine's denominator nonzero in BOTH
+    // engines (0/0 would be NaN in Spark but a CAST error in DuckDB)
     val norms = posts.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("n2"))
+      .filter(col("n2") > 0)
     val pairs = posts.as("a")
       .join(posts.as("b"), col("a.term") === col("b.term") &&
         col("a.doc_id") < col("b.doc_id"))

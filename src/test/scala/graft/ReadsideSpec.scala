@@ -1169,10 +1169,12 @@ class ReadsideSpec extends SparkSpec {
     val dots = posts.groupBy(_._1).values.flatMap { ps =>
       for (a <- ps; b <- ps if a._2 < b._2) yield ((a._2, b._2), a._3 * b._3)
     }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val scored = dots.toSeq.map { case ((d1, d2), dot) =>
-      (d1, d2, math.floor(dot.toDouble /
-        math.sqrt(norms(d1).toDouble * norms(d2).toDouble) * 10000 + 0.5).toLong)
-    }
+    val scored = dots.toSeq
+      .filter { case ((d1, d2), _) => norms(d1) > 0 && norms(d2) > 0 }
+      .map { case ((d1, d2), dot) =>
+        (d1, d2, math.floor(dot.toDouble /
+          math.sqrt(norms(d1).toDouble * norms(d2).toDouble) * 10000 + 0.5).toLong)
+      }
     val expect = scored.sortBy(x => (-x._3, x._1, x._2)).take(100).toSet
     val got = SparkEntry.queries("q78_postings_sim")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
