@@ -22,24 +22,13 @@ package graft.readside
   *    window); empty texts fingerprint to 0.
   */
 private object FingerprintOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
-  private val M64 = BigInt(1) << 64
+  import XxhSqlOps.{mul64, xor64, shr, M64s}
+
   // murmur3 finalizer constants (ExprOps.mix)
   private val Pa = BigInt("FF51AFD7ED558CCD", 16)
   private val Pb = BigInt("C4CEB9FE1A85EC53", 16)
   private val B = 1000000007L
   private val K = 16
-
-  /** (a · b) mod 2^64 for a column expr and a constant (32-bit limbs). */
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def shr(col: String, n: Int): String = s"(($col) // ${BigInt(1) << n})"
 
   val sql: String = {
     // 16 fold stages: h_j = (h_{j-1}·B + byte_{p+j-1}) mod 2^64, gated on

@@ -22,31 +22,13 @@ package graft.readside
   * CTE column, so expression size stays constant per step.
   */
 private object LshOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
-  private val M64 = BigInt(1) << 64
-  private val P1 = BigInt("9E3779B185EBCA87", 16)
-  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
-  private val P3 = BigInt("165667B19E3779F9", 16)
-  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
-  private val P5 = BigInt("27D4EB2F165667C5", 16)
+  import XxhSqlOps.{mul64, xor64, rotl, addc, shr, M64, M64s, P1, P2, P3, P4, P5}
+
   private val FnvOffset = BigInt("CBF29CE484222325", 16)
   private val FnvPrime = BigInt("100000001B3", 16)
 
-  /** (a · b) mod 2^64 for a column expr and a constant. */
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def rotl(a: String, n: Int): String =
-    s"((($a) * ${BigInt(1) << n} % $M64s) + (($a) // ${BigInt(1) << (64 - n)}))"
-  private def addc(a: String, c: BigInt): String =
-    s"((($a) + ${c % M64}) % $M64s)"
-  private def shr(col: String, n: Int): String = s"$col // ${BigInt(1) << n}"
-
+  // local chain variant: returns the CTE list unjoined (this generator
+  // interleaves its own CTEs between chains)
   private def chain(base: String, baseCols: Seq[String],
       stages: Seq[(String, String)], prefix: String): (Seq[String], String) = {
     var prev = base

@@ -2045,8 +2045,11 @@ object Queries {
       .filter(col("source").isNotNull)
       .select(col("source"),
         explode(GraftFunctions.wordNgramHashSeq(col("text"), 8)).as("g"))
-      .distinct()
       .groupBy(col("g"))
+      // collect_set dedups (source, gram) occurrences itself, with a
+      // map-side partial — a separate distinct() would add a second
+      // corpus-scale exchange for nothing (PlanSpec pins the single
+      // gram-grain exchange)
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
       .select(explode(expr(

@@ -25,88 +25,29 @@ package graft.readside
   *    (rep = min reachable id ≡ the engine's min-label fixpoint).
   */
 private object SemOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
-  private val M64 = BigInt(1) << 64
-  private val P1 = BigInt("9E3779B185EBCA87", 16)
-  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
-  private val P3 = BigInt("165667B19E3779F9", 16)
-  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
-  private val P5 = BigInt("27D4EB2F165667C5", 16)
-
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def rotl(a: String, n: Int): String =
-    s"((($a) * ${BigInt(1) << n} % $M64s) + (($a) // ${BigInt(1) << (64 - n)}))"
-  private def addc(a: String, c: BigInt): String =
-    s"((($a) + ${c % M64}) % $M64s)"
-  private def shr(col: String, n: Int): String = s"(($col) // ${BigInt(1) << n})"
-
-  /** One CTE per hash stage, constant expression size (q27 discipline). */
-  private def chain(base: String, baseCols: Seq[String],
-      stages: Seq[(String, String)], prefix: String): (String, String) = {
-    var prev = base
-    val cols = scala.collection.mutable.ArrayBuffer(baseCols: _*)
-    val ctes = stages.zipWithIndex.map { case ((name, expr), i) =>
-      val cte = s"$prefix$i"
-      val out = s"$cte AS (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
-      prev = cte; cols += name
-      out
-    }
-    (ctes.mkString(",\n      "), prev)
-  }
+  import XxhSqlOps.{chain, M64s}
 
   private def cosine(a: String, b: String): String =
     s"""(list_dot_product($a, $b) /
           sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"""
 
-  // Spark xxhash64(long, seed=42): XXH64 8-byte tail + avalanche
-  // (identical stage list to LshOracleSql's hashLong); input column "h",
-  // output column "hl"
-  private def hashLongStages: Seq[(String, String)] = {
-    val hlBase = (BigInt(42) + P5 + 8) % M64
-    Seq(
-      "t1" -> mul64("h", P2),
-      "t2" -> rotl("t1", 31),
-      "t3" -> mul64("t2", P1),
-      "t4" -> xor64(hlBase.toString, "t3"),
-      "t5" -> rotl("t4", 27),
-      "t6" -> addc(mul64("t5", P1), P4),
-      "u1" -> xor64("t6", shr("t6", 33)),
-      "u2" -> mul64("u1", P2),
-      "u3" -> xor64("u2", shr("u2", 29)),
-      "u4" -> mul64("u3", P3),
-      "hl" -> xor64("u4", shr("u4", 32)))
-  }
+  // Spark xxhash64(long, seed=42) over input column "h" → output column
+  // "hl": the shared validated stage list, seed fixed at the constant 42.
+  private def hashLongStages: Seq[(String, String)] =
+    XxhSqlOps.hashLongStages("h", "42", "hl", "")
 
   /** XXH64 of one 8-byte value in column `in` with the seed given as an
     * SQL expression (a column for the chained second value of Spark's
-    * multi-argument xxhash64) — the ShuffleOracleSql q62 machinery. */
+    * multi-argument xxhash64) — the shared XxhSqlOps machinery. */
   private def seededStages(in: String, seedExpr: String, out: String,
-      tag: String): Seq[(String, String)] = Seq(
-    s"b$tag" -> addc(seedExpr, P5 + 8),
-    s"t1$tag" -> mul64(in, P2),
-    s"t2$tag" -> rotl(s"t1$tag", 31),
-    s"t3$tag" -> mul64(s"t2$tag", P1),
-    s"t4$tag" -> xor64(s"b$tag", s"t3$tag"),
-    s"t5$tag" -> rotl(s"t4$tag", 27),
-    s"t6$tag" -> addc(mul64(s"t5$tag", P1), P4),
-    s"u1$tag" -> xor64(s"t6$tag", shr(s"t6$tag", 33)),
-    s"u2$tag" -> mul64(s"u1$tag", P2),
-    s"u3$tag" -> xor64(s"u2$tag", shr(s"u2$tag", 29)),
-    s"u4$tag" -> mul64(s"u3$tag", P3),
-    out -> xor64(s"u4$tag", shr(s"u4$tag", 32)))
+      tag: String): Seq[(String, String)] =
+    XxhSqlOps.hashLongStages(in, seedExpr, out, tag)
 
   /** q58's oracle: the SAME Spark-exact xxhash64(long) chain over doc_id,
     * signed compare, bottom-64 — the standalone gate for the consistent-
     * sample primitive q51's centroid pick already uses. */
   val q58Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("doc_id"), hashLongStages, "sx")
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "h"), hashLongStages, "sx")
     s"""
       WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
       $hlCtes,
@@ -124,7 +65,7 @@ private object SemOracleSql {
   /** q59's oracle: same xxhash64 chain, Spark-pmod bucket (((hs % 100) +
     * 100) % 100 ≡ Spark's pmod on the signed value), CASE split label. */
   val q59Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("doc_id"), hashLongStages, "sx")
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "h"), hashLongStages, "sx")
     s"""
       WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h FROM documents),
       $hlCtes,
@@ -235,7 +176,7 @@ private object SemOracleSql {
     * hash rank, bottom-32 cutoff, then q57's exact nearest-rank picks
     * over the sample — all integer arithmetic. */
   val q71Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "source", "n_chars"),
+    val (hlCtes, hlLast) = chain("ids", Seq("doc_id", "source", "n_chars", "h"),
       hashLongStages, "sx")
     s"""
       WITH ids AS (
@@ -278,7 +219,7 @@ private object SemOracleSql {
   val q72Sql: String = {
     val fnvOffset = BigInt("CBF29CE484222325", 16)
     val fnvPrime = BigInt("100000001B3", 16)
-    val fold = mul64(xor64("h", "b"), fnvPrime)
+    val fold = XxhSqlOps.mul64(XxhSqlOps.xor64("h", "b"), fnvPrime)
     val num = BigInt(255) * (BigInt(1) << 64)
     s"""
       WITH toks AS (
@@ -315,7 +256,7 @@ private object SemOracleSql {
     * and the argmax-cosine coarse assignment — exactly
     * `Queries.coarseQuantize`. */
   private def quantizerCtes: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
+    val (hlCtes, hlLast) = chain("ids", Seq("vec_id", "h"), hashLongStages, "sx")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM e),
       kk AS (SELECT greatest(CAST(4 AS BIGINT), least(CAST(4096 AS BIGINT),
@@ -411,7 +352,7 @@ private object SemOracleSql {
     * `(v − pmod) // n`, empty clusters carried forward by LEFT JOIN +
     * coalesce. Two rounds, then the final assignment. */
   val q79Sql: String = {
-    val (hlCtes, hlLast) = chain("ids", Seq("vec_id"), hashLongStages, "sx")
+    val (hlCtes, hlLast) = chain("ids", Seq("vec_id", "h"), hashLongStages, "sx")
     val dist =
       """list_reduce(
            list_prepend(CAST(0 AS BIGINT),

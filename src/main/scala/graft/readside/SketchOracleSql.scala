@@ -11,56 +11,7 @@ package graft.readside
   * exact side groups by HASH (the engine counts occurrences of h, so two
   * FNV-colliding tokens would share a combined count on both sides). */
 private object SketchOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
-  private val M64 = BigInt(1) << 64
-  private val P1 = BigInt("9E3779B185EBCA87", 16)
-  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
-  private val P3 = BigInt("165667B19E3779F9", 16)
-  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
-  private val P5 = BigInt("27D4EB2F165667C5", 16)
-
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def rotl(a: String, n: Int): String =
-    s"((($a) * ${BigInt(1) << n} % $M64s) + (($a) // ${BigInt(1) << (64 - n)}))"
-  private def addc(a: String, c: BigInt): String =
-    s"((($a) + ${c % M64}) % $M64s)"
-  private def shr(col: String, n: Int): String = s"(($col) // ${BigInt(1) << n})"
-
-  private def chain(base: String, baseCols: Seq[String],
-      stages: Seq[(String, String)], prefix: String): (String, String) = {
-    var prev = base
-    val cols = scala.collection.mutable.ArrayBuffer(baseCols: _*)
-    val ctes = stages.zipWithIndex.map { case ((name, expr), i) =>
-      val cte = s"$prefix$i"
-      val out = s"$cte AS (SELECT ${cols.mkString(", ")}, $expr AS $name FROM $prev)"
-      prev = cte; cols += name
-      out
-    }
-    (ctes.mkString(",\n      "), prev)
-  }
-
-  /** XXH64 of one 8-byte value in column `in`, seed an SQL expression. */
-  private def hashLongStages(in: String, seedExpr: String, out: String,
-      tag: String): Seq[(String, String)] = Seq(
-    s"b$tag" -> addc(seedExpr, P5 + 8),
-    s"t1$tag" -> mul64(in, P2),
-    s"t2$tag" -> rotl(s"t1$tag", 31),
-    s"t3$tag" -> mul64(s"t2$tag", P1),
-    s"t4$tag" -> xor64(s"b$tag", s"t3$tag"),
-    s"t5$tag" -> rotl(s"t4$tag", 27),
-    s"t6$tag" -> addc(mul64(s"t5$tag", P1), P4),
-    s"u1$tag" -> xor64(s"t6$tag", shr(s"t6$tag", 33)),
-    s"u2$tag" -> mul64(s"u1$tag", P2),
-    s"u3$tag" -> xor64(s"u2$tag", shr(s"u2$tag", 29)),
-    s"u4$tag" -> mul64(s"u3$tag", P3),
-    out -> xor64(s"u4$tag", shr(s"u4$tag", 32)))
+  import XxhSqlOps._
 
   val q77Sql: String = {
     val fnvOffset = BigInt("CBF29CE484222325", 16)

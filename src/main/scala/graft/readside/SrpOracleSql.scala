@@ -23,22 +23,11 @@ package graft.readside
   *    hash-gated at the same 0.4 threshold on the same table.
   */
 private object SrpOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
-  private val M64 = BigInt(1) << 64
+  import XxhSqlOps.{mul64, xor64, shr, M64s}
+
   // murmur3 finalizer constants (ExprOps.mix)
   private val Pa = BigInt("FF51AFD7ED558CCD", 16)
   private val Pb = BigInt("C4CEB9FE1A85EC53", 16)
-
-  /** (a · b) mod 2^64 for a column expr and a constant (32-bit limbs). */
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
-  private def shr(col: String, n: Int): String = s"(($col) // ${BigInt(1) << n})"
 
   /** CTE block computing hyperplane lists `ul(t, b)` (64 doubles ordered by
     * dimension) for `tables` tables, bits 0 until `maxBits`, table t seeded
@@ -146,18 +135,10 @@ private object SrpOracleSql {
   * as a deterministic `list_reduce` left fold in HUGEINT (the q27 oracle's
   * arithmetic, freed from its fixed-width stage chain). */
 private object SimhashOracleSql {
-  private val M64s = "18446744073709551616::HUGEINT"
-  private val M32 = BigInt(1) << 32
+  import XxhSqlOps.{mul64, xor64}
+
   private val FnvOffset = BigInt("CBF29CE484222325", 16)
   private val FnvPrime = BigInt("100000001B3", 16)
-
-  private def mul64(a: String, b: BigInt): String = {
-    val bl = b % M32; val bh = b / M32
-    s"((($a) % 4294967296 * $bl + " +
-      s"((($a) % 4294967296 * $bh + ($a) // 4294967296 * $bl) % 4294967296) * 4294967296) % $M64s)"
-  }
-  private def xor64(a: String, b: String): String =
-    s"CAST(xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT)) AS HUGEINT)"
 
   val q26Sql: String = {
     // FNV-1a fold over the token's chars (ASCII corpus: char code = byte)

@@ -162,6 +162,18 @@ class PlanSpec extends SparkSpec {
       s"no candidate blowup join allowed in the assignment pass:\n$p")
   }
 
+  test("q80: the (source, hash) stream shuffles ONCE at gram grain; the matrix agg is the only other keyed exchange") {
+    val p = planExec(Queries.q80SharedPassages(spark, dir))
+    val keyed = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(keyed.size == 2, s"expected gram-grain + matrix-grain exchanges only:\n$p")
+    assert(keyed.count(_.contains("g#")) == 1,
+      s"exactly one exchange may carry the gram stream:\n$p")
+    // the pair-matrix agg keys surface as _groupingexpression (groupBy
+    // with inline alias); the point is only that it is NOT the gram stream
+    assert(keyed.count(e => e.contains("_groupingexpression") || e.contains("src_a#")) == 1,
+      s"the other exchange must be the tiny source-pair matrix agg:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

@@ -1251,8 +1251,18 @@ class ReadsideSpec extends SparkSpec {
     assert(got.toSet == expect,
       s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
     got.foreach { case (a, b, n) => assert(a < b && n >= 1, s"orientation/count: ($a,$b,$n)") }
-    // a doc with exactly 7 tokens must contribute no grams anywhere
-    assert(!grams.exists(_._2.split(" ").length < 8))
+    // engineered fixture AGAINST THE ENGINE: a 7-token doc shares its
+    // text prefix with two 8-token docs but must contribute no grams
+    // (wordNgramHashSeq's empty-below-n contract), so only the s1/s2
+    // pair — via the full 8-gram both long docs share — may surface
+    val tmp = java.nio.file.Files.createTempDirectory("q80eng").toString
+    Seq((1L, "a b c d e f g h", "s1"), (2L, "a b c d e f g h", "s2"),
+      (3L, "a b c d e f g", "s3"), (4L, null.asInstanceOf[String], "s4"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$tmp/documents.parquet")
+    val e = SparkEntry.queries("q80_shared_passages")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(e == List(("s1", "s2", 1L)),
+      s"short doc must not contribute grams; expected only (s1,s2,1): $e")
   }
 
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
