@@ -97,6 +97,7 @@ object SparkEntry {
     "q78_postings_sim" -> (Queries.q78PostingsSimilarity _),
     "q79_kmeans" -> (Queries.q79KmeansLloyd _),
     "q80_shared_passages" -> (Queries.q80SharedPassages _),
+    "q81_cohort_retention" -> (Queries.q81CohortRetention _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -1358,6 +1358,23 @@ object OracleSql {
       py AS (SELECT srcs[i] AS src_a, unnest(srcs[i + 1:]) AS src_b FROM px)
       SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_grams
       FROM py GROUP BY src_a, src_b
-      ORDER BY src_a, src_b"""
+      ORDER BY src_a, src_b""",
+
+    // cohort retention: first-seen-day cohorts, per-offset active counts,
+    // exact integer retention fraction (UTC day boundaries both engines).
+    "q81_cohort_retention" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id),
+      c AS (SELECT d0, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM f GROUP BY d0),
+      a AS (SELECT f.d0, CAST(ud.d - f.d0 AS BIGINT) AS offset_d,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM ud JOIN f USING (user_id)
+            GROUP BY f.d0, ud.d - f.d0)
+      SELECT a.d0 AS cohort_day, a.offset_d, c.cohort_size, a.n_active,
+             CAST(a.n_active * 10000 // c.cohort_size AS BIGINT)
+               AS retained_x1e4
+      FROM a JOIN c ON c.d0 = a.d0
+      ORDER BY cohort_day, offset_d"""
   )
 }

@@ -2060,6 +2060,40 @@ object Queries {
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("src_a"), col("src_b"))
 
+  /** q81: COHORT RETENTION over the event stream — users cohorted by
+    * first-seen day; for every (cohort day, day offset) the number of
+    * cohort members active that day and the retention fraction as an
+    * exact ×10⁴ integer. The classic warehouse curve (the crawl analogue
+    * reads host re-visit cadence the same way); offsets only exist for
+    * days a user was actually active, so the curve is sparse, and
+    * offset 0 always carries retained_x1e4 = 10000 (every member is
+    * active on their own first day — spec-asserted).
+    *
+    * Scale shape: ONE user-grain exchange (map-side-combined
+    * collect_set of active days); first-day, offsets, and the per-user
+    * explode all derive from that one pass — the (cohort, offset) agg
+    * runs at user-days grain and the cohort-size table (≤ #days rows)
+    * broadcasts back. No distinct-count anywhere: set membership is
+    * established once, so the final counts are plain sums. */
+  def q81CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val byUser = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("d"))).as("days"))
+      .withColumn("d0", element_at(col("days"), 1))
+    val cohorts = byUser.groupBy(col("d0"))
+      .agg(count(lit(1)).as("cohort_size"))
+    byUser.select(col("d0"), explode(col("days")).as("d"))
+      .withColumn("offset_d", datediff(col("d"), col("d0")).cast("bigint"))
+      .groupBy(col("d0"), col("offset_d"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohorts), "d0")
+      .select(col("d0").as("cohort_day"), col("offset_d"),
+        col("cohort_size"), col("n_active"),
+        expr("n_active * 10000 div cohort_size").as("retained_x1e4"))
+      .orderBy(col("cohort_day"), col("offset_d"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

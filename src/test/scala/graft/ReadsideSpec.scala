@@ -1265,6 +1265,32 @@ class ReadsideSpec extends SparkSpec {
       s"short doc must not contribute grams; expected only (s1,s2,1): $e")
   }
 
+  test("q81 cohort retention: equals a driver reimplementation; offset-0 is always 10000; counts bounded by cohort") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", to_date($"ts").as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .distinct
+    val firstDay = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = firstDay.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = rows.groupBy { case (u, d) =>
+      (firstDay(u), java.time.temporal.ChronoUnit.DAYS.between(firstDay(u), d))
+    }.map { case ((d0, off), xs) =>
+      val n = xs.size.toLong
+      (d0, off, cohortSize(d0), n, n * 10000 / cohortSize(d0))
+    }.toSet
+    val got = SparkEntry.queries("q81_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
+    got.foreach { case (d0, off, size, n, ret) =>
+      assert(off >= 0 && n >= 1 && n <= size, s"bounds: ($d0,$off,$size,$n)")
+      if (off == 0) assert(n == size && ret == 10000L,
+        s"cohort $d0 must be fully active at offset 0")
+    }
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
