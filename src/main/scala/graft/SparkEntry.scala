@@ -98,6 +98,7 @@ object SparkEntry {
     "q79_kmeans" -> (Queries.q79KmeansLloyd _),
     "q80_shared_passages" -> (Queries.q80SharedPassages _),
     "q81_cohort_retention" -> (Queries.q81CohortRetention _),
+    "q82_funnel" -> (Queries.q82Funnel _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

@@ -1375,6 +1375,39 @@ object OracleSql {
              CAST(a.n_active * 10000 // c.cohort_size AS BIGINT)
                AS retained_x1e4
       FROM a JOIN c ON c.d0 = a.d0
-      ORDER BY cohort_day, offset_d"""
+      ORDER BY cohort_day, offset_d""",
+
+    // sequential funnel: the naive 3-scan relational form (min view,
+    // min click strictly after it, min purchase strictly after that) —
+    // the engine's one-pass ordered fold must agree exactly.
+    "q82_funnel" -> """
+      WITH e AS (SELECT user_id, ts, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+      base AS (SELECT DISTINCT user_id FROM e),
+      v AS (SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t2
+            FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t3
+            FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id),
+      n AS (SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_base,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase)
+      SELECT n_base, n_view, n_click, n_purchase,
+             CAST(CASE WHEN n_base = 0 THEN 0
+                       ELSE n_view * 10000 // n_base END AS BIGINT)
+               AS conv1_x1e4,
+             CAST(CASE WHEN n_view = 0 THEN 0
+                       ELSE n_click * 10000 // n_view END AS BIGINT)
+               AS conv2_x1e4,
+             CAST(CASE WHEN n_click = 0 THEN 0
+                       ELSE n_purchase * 10000 // n_click END AS BIGINT)
+               AS conv3_x1e4
+      FROM n"""
   )
 }

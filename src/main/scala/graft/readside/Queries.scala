@@ -2094,6 +2094,55 @@ object Queries {
       .orderBy(col("cohort_day"), col("offset_d"))
   }
 
+  /** q82: SEQUENTIAL FUNNEL (view → click → purchase, strictly
+    * increasing timestamps) — the ordered-sequence analytic a plain
+    * aggregation cannot express: a click only counts AFTER the user's
+    * first view, a purchase only after that click. One output row with
+    * the per-stage user counts and exact ×10⁴ stage-to-stage
+    * conversions (0-divide guarded: an empty prior stage yields 0).
+    *
+    * Scale shape: ONE user-grain exchange — per user the (ts, type)
+    * pairs collect and sort ONCE, then a declarative `aggregate` fold
+    * walks them in time order carrying (t1, t2, t3) state: no second
+    * scan of the event table per stage, no join cascade, no
+    * mapGroups/UDF. The oracle is deliberately the naive 3-scan
+    * relational form (min-after-min joins), so the gate proves
+    * fold ≡ relational. Tie discipline: events sort by (ts, type) and
+    * later stages require STRICTLY greater timestamps, so equal-time
+    * events can never double-advance the funnel in either engine. */
+  def q82Funnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_type").as("et")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .select(expr("""
+        aggregate(evs,
+          named_struct('t1', CAST(NULL AS TIMESTAMP),
+                       't2', CAST(NULL AS TIMESTAMP),
+                       't3', CAST(NULL AS TIMESTAMP)),
+          (acc, x) -> named_struct(
+            't1', CASE WHEN acc.t1 IS NULL AND x.et = 'view'
+                       THEN x.ts ELSE acc.t1 END,
+            't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                            AND x.et = 'click' AND x.ts > acc.t1
+                       THEN x.ts ELSE acc.t2 END,
+            't3', CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL
+                            AND x.et = 'purchase' AND x.ts > acc.t2
+                       THEN x.ts ELSE acc.t3 END))""").as("st"))
+      .agg(count(lit(1)).as("n_base"),
+        count(col("st.t1")).as("n_view"),
+        count(col("st.t2")).as("n_click"),
+        count(col("st.t3")).as("n_purchase"))
+      .select(col("n_base"), col("n_view"), col("n_click"), col("n_purchase"),
+        expr("CASE WHEN n_base = 0 THEN 0 ELSE n_view * 10000 div n_base END")
+          .as("conv1_x1e4"),
+        expr("CASE WHEN n_view = 0 THEN 0 ELSE n_click * 10000 div n_view END")
+          .as("conv2_x1e4"),
+        expr("CASE WHEN n_click = 0 THEN 0 ELSE n_purchase * 10000 div n_click END")
+          .as("conv3_x1e4"))
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -1291,6 +1291,56 @@ class ReadsideSpec extends SparkSpec {
     }
   }
 
+  test("q82 funnel: equals a driver fold; monotone stage counts; strict-order fixture gates same-ts and out-of-order events") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_type")
+      .collect().map { r =>
+        val ins = r.getAs[Any](1) match {
+          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp => t.toInstant
+          case i: java.time.Instant => i
+        }
+        (r.getLong(0), ins.getEpochSecond * 1000000L + ins.getNano / 1000,
+          r.getString(2))
+      }
+    val byUser = rows.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))
+      .sortBy(identity)).toMap
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      var t1, t2, t3 = Option.empty[Long]
+      evs.foreach { case (ts, et) =>
+        if (t1.isEmpty && et == "view") t1 = Some(ts)
+        else if (t2.isEmpty && t1.exists(ts > _) && et == "click") t2 = Some(ts)
+        else if (t3.isEmpty && t2.exists(ts > _) && et == "purchase") t3 = Some(ts)
+      }
+      if (t1.isDefined) nv += 1
+      if (t2.isDefined) nc += 1
+      if (t3.isDefined) np += 1
+    }
+    val nb = byUser.size.toLong
+    val got = SparkEntry.queries("q82_funnel")(spark, dir).collect()(0)
+    val g = (0 to 6).map(got.getLong)
+    assert(g(0) == nb && g(1) == nv && g(2) == nc && g(3) == np,
+      s"fold mismatch: engine=${g.take(4)} driver=($nb,$nv,$nc,$np)")
+    assert(g(0) >= g(1) && g(1) >= g(2) && g(2) >= g(3), "funnel must be monotone")
+    assert(g(4) == nv * 10000 / nb && (nv == 0 || g(5) == nc * 10000 / nv))
+    // engineered ordering fixture: u1 converts fully; u2's click PRECEDES
+    // its view (no conversion); u3's purchase shares the click's exact ts
+    // (strict > gates it); u4 has only an error event (not in the base)
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$sec")
+    val tmp = java.nio.file.Files.createTempDirectory("q82eng").toString
+    Seq((1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(1), "view"), (3L, ts(2), "click"), (3L, ts(2), "purchase"),
+      (4L, ts(1), "error"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$tmp/events.parquet")
+    val e = SparkEntry.queries("q82_funnel")(spark, tmp).collect()(0)
+    val eg = (0 to 6).map(e.getLong)
+    assert(eg == Seq(3L, 3L, 2L, 1L, 10000L, 6666L, 5000L),
+      s"ordering fixture: $eg")
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
