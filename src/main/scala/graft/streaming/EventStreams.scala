@@ -403,6 +403,50 @@ object EventStreams {
         })
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // micros; MinValue = unset
+  case class FunnelUpdate(user_id: Long, stage: Int, version: Long)
+
+  /** The streaming twin of [[graft.readside.Queries.q82Funnel]]: the
+    * per-user (t1, t2, t3) funnel state machine resumed across
+    * micro-batches. The batch fold is ALREADY incremental — its
+    * accumulator is exactly this state — so feeding time-ordered batches
+    * through `flatMapGroupsWithState` reproduces the batch result on the
+    * same rows (StreamingSpec proves stage-count equality). Within a
+    * micro-batch rows sort by (ts, type) — the batch `array_sort` tie
+    * discipline; ACROSS batches the twin assumes per-user in-order
+    * delivery (the same contract as [[gapSessionize]]): a view arriving
+    * in a later batch than an earlier-timestamped click cannot
+    * retroactively advance the funnel, exactly as a real-time funnel
+    * behaves.
+    *
+    * Emits the user's current stage (0–3) stamped with the monotone
+    * `version` = events seen (max-version row = current, the
+    * [[streamingHeavyHitters]] convention). State is three longs per
+    * user, O(users) total, independent of stream length. */
+  def streamingFunnel(events: Dataset[(Long, Long, String)]): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val U = Long.MinValue
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[(FunnelState, Long)]) => {
+          var (st, seen) = state.getOption.getOrElse((FunnelState(U, U, U), 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, et) =>
+            seen += 1
+            if (st.t1 == U && et == "view") st = st.copy(t1 = ts)
+            else if (st.t2 == U && st.t1 != U && et == "click" && ts > st.t1)
+              st = st.copy(t2 = ts)
+            else if (st.t3 == U && st.t2 != U && et == "purchase" && ts > st.t2)
+              st = st.copy(t3 = ts)
+          }
+          state.update((st, seen))
+          val stage = if (st.t3 != U) 3 else if (st.t2 != U) 2
+            else if (st.t1 != U) 1 else 0
+          Iterator.single(FunnelUpdate(user, stage, seen))
+        })
+  }
+
   /** Run the windowed aggregation as a real stream over a parquet
     * directory with AvailableNow, collecting to a memory sink; returns
     * the sink table name. */

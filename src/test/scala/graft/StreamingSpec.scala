@@ -288,6 +288,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel ≡ batch q82 on the same events fed as time-ordered micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_type")
+      .collect().map { r =>
+        val ins = r.getAs[Any](1) match {
+          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp => t.toInstant
+          case i: java.time.Instant => i
+        }
+        (r.getLong(0), ins.getEpochSecond * 1000000L + ins.getNano / 1000,
+          r.getString(2))
+      }.sortBy(r => (r._2, r._3)) // global time order -> per-user in-order
+    val b = SparkEntry.queries("q82_funnel")(spark, sf("sf0.001")).collect()(0)
+    val expect = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val input = MemoryStream[(Long, Long, String)]
+    val updates = EventStreams.streamingFunnel(input.toDS())
+    val q = updates.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_test").start()
+    try {
+      batches.foreach { bt => input.addData(bt: _*); q.processAllAvailable() }
+      val fin = spark.table("funnel_test")
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (_, us) => us.maxBy(_._3)._2 }.toSeq
+      val got = (fin.size.toLong, fin.count(_ >= 1).toLong,
+        fin.count(_ >= 2).toLong, fin.count(_ >= 3).toLong)
+      assert(got == expect, s"stream≠batch: $got vs $expect")
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct ≡ batch q72 on the same hashes split across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
