@@ -427,7 +427,11 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val U = Long.MinValue
-    events.groupByKey(_._1)
+    // same base as batch q82: non-funnel event types never reach the
+    // state store (otherwise every user would hold a forever-lived
+    // state entry and the stream's n_base would exceed the batch's)
+    events.filter(e => e._3 == "view" || e._3 == "click" || e._3 == "purchase")
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, Long, String)],
             state: GroupState[(FunnelState, Long)]) => {

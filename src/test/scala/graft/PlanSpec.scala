@@ -174,6 +174,29 @@ class PlanSpec extends SparkSpec {
       s"the other exchange must be the tiny source-pair matrix agg:\n$p")
   }
 
+  test("q81: ONE materialized user-grain exchange — the cohort branch reuses it at runtime; cohort sizes broadcast") {
+    val df = Queries.q81CohortRetention(spark, dir)
+    df.collect() // AQE reuse only materializes at runtime
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val userEx = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+    assert(userEx == 1, s"the event stream must shuffle once at user grain:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the cohort-size branch must reuse the user-grain exchange, not rescan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"cohort sizes must broadcast into the retention join:\n$p")
+  }
+
+  test("q82: the funnel fold is one user-grain exchange + a single-row rollup — no per-stage rescans, no explode") {
+    val p = planExec(Queries.q82Funnel(spark, dir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"events must shuffle exactly once, at user grain:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"the stage rollup folds partial counts into one row:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"the fold must not explode events or cascade per-stage joins:\n$p")
+  }
+
   test("q43: stratified sample shuffles only the slim (doc_id, source) projection") {
     val p = plan(Queries.q43StratifiedSample(spark, dir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),

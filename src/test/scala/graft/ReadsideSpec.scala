@@ -1295,15 +1295,8 @@ class ReadsideSpec extends SparkSpec {
     val rows = spark.read.parquet(s"$dir/events.parquet")
       .filter($"event_type".isin("view", "click", "purchase"))
       .select($"user_id", $"ts", $"event_type")
-      .collect().map { r =>
-        val ins = r.getAs[Any](1) match {
-          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
-          case t: java.sql.Timestamp => t.toInstant
-          case i: java.time.Instant => i
-        }
-        (r.getLong(0), ins.getEpochSecond * 1000000L + ins.getNano / 1000,
-          r.getString(2))
-      }
+      .collect()
+      .map(r => (r.getLong(0), tsMicros(r.getAs[Any](1)), r.getString(2)))
     val byUser = rows.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))
       .sortBy(identity)).toMap
     var (nv, nc, np) = (0L, 0L, 0L)
@@ -1324,7 +1317,11 @@ class ReadsideSpec extends SparkSpec {
     assert(g(0) == nb && g(1) == nv && g(2) == nc && g(3) == np,
       s"fold mismatch: engine=${g.take(4)} driver=($nb,$nv,$nc,$np)")
     assert(g(0) >= g(1) && g(1) >= g(2) && g(2) >= g(3), "funnel must be monotone")
-    assert(g(4) == nv * 10000 / nb && (nv == 0 || g(5) == nc * 10000 / nv))
+    // every conversion column checked against the driver, INCLUDING the
+    // 0-divide guard path (an empty prior stage must yield exactly 0)
+    assert(g(4) == (if (nb == 0) 0L else nv * 10000 / nb), "conv1")
+    assert(g(5) == (if (nv == 0) 0L else nc * 10000 / nv), "conv2")
+    assert(g(6) == (if (nc == 0) 0L else np * 10000 / nc), "conv3")
     // engineered ordering fixture: u1 converts fully; u2's click PRECEDES
     // its view (no conversion); u3's purchase shares the click's exact ts
     // (strict > gates it); u4 has only an error event (not in the base)

@@ -291,18 +291,13 @@ class StreamingSpec extends SparkSpec {
   test("streaming funnel ≡ batch q82 on the same events fed as time-ordered micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
+    // RAW stream incl. signup/error rows: the twin's own filter must
+    // keep them out of the state store (base parity with batch q82)
     val rows = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
-      .filter($"event_type".isin("view", "click", "purchase"))
       .select($"user_id", $"ts", $"event_type")
-      .collect().map { r =>
-        val ins = r.getAs[Any](1) match {
-          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
-          case t: java.sql.Timestamp => t.toInstant
-          case i: java.time.Instant => i
-        }
-        (r.getLong(0), ins.getEpochSecond * 1000000L + ins.getNano / 1000,
-          r.getString(2))
-      }.sortBy(r => (r._2, r._3)) // global time order -> per-user in-order
+      .collect()
+      .map(r => (r.getLong(0), tsMicros(r.getAs[Any](1)), r.getString(2)))
+      .sortBy(r => (r._2, r._3)) // global time order -> per-user in-order
     val b = SparkEntry.queries("q82_funnel")(spark, sf("sf0.001")).collect()(0)
     val expect = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
@@ -319,6 +314,28 @@ class StreamingSpec extends SparkSpec {
         fin.count(_ >= 2).toLong, fin.count(_ >= 3).toLong)
       assert(got == expect, s"stream≠batch: $got vs $expect")
     } finally q.stop()
+    // engineered gating fixture ACROSS batches (the corpus converts
+    // fully, so the strict-order guards need their own drive): u2's
+    // click precedes its view; u3's purchase shares the click's exact
+    // ts; the view/click and the gated tail arrive in separate batches
+    val in2 = MemoryStream[(Long, Long, String)]
+    val up2 = EventStreams.streamingFunnel(in2.toDS())
+    val q2 = up2.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_eng_test").start()
+    try {
+      in2.addData((1L, 1000000L, "view"), (2L, 1000000L, "click"),
+        (3L, 1000000L, "view"), (4L, 1000000L, "error"))
+      q2.processAllAvailable()
+      in2.addData((1L, 2000000L, "click"), (2L, 2000000L, "view"),
+        (3L, 2000000L, "click"), (3L, 2000000L, "purchase"))
+      q2.processAllAvailable()
+      in2.addData((1L, 3000000L, "purchase"))
+      q2.processAllAvailable()
+      val st = spark.table("funnel_eng_test").as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (u, us) => (u, us.maxBy(_._3)._2) }
+      assert(st == Map(1L -> 3, 2L -> 1, 3L -> 2),
+        s"gating fixture stages: $st (u4 must be absent, u3's same-ts purchase gated)")
+    } finally q2.stop()
   }
 
   test("streaming KMV distinct ≡ batch q72 on the same hashes split across micro-batches") {
