@@ -1338,6 +1338,60 @@ class ReadsideSpec extends SparkSpec {
       s"ordering fixture: $eg")
   }
 
+  test("q79 k-means: empty-cluster carry-forward — a duplicated seed keeps its centroid and the run stays argmin-exact") {
+    // seeds are the bottom-8 ids by xxhash64; duplicate the vector of the
+    // TWO lowest-ranked seeds: every point ties between the copies and
+    // the tie-break sends it to the smaller cid, so the higher-cid copy
+    // gets ZERO members in round 1 and must carry its centroid forward
+    val n = 12
+    val ranked = spark.range(1, n + 1L)
+      .select($"id", xxhash64($"id").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (x._2, x._1)).map(_._1)
+    val seeds = ranked.take(8)
+    val base = (1 to n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 4) 1.0f else 0.01f * i))
+    }.toMap
+    val dup = base + (seeds(1) -> base(seeds(0))) // seeds(1) clones seeds(0)
+    val tmp = java.nio.file.Files.createTempDirectory("q79empty").toString
+    dup.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    // driver Lloyd on the integer grid (the q79 contract)
+    val q = dup.view.mapValues(_.map(x => math.floor(x.toDouble * 1000000).toLong)).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var cents: Seq[(Long, Seq[Long])] = seeds.map(id => (id, q(id).toSeq))
+    def assign() = q.toSeq.map { case (id, v) =>
+      (id, cents.map(c => (d2(v, c._2), c._1)).min._2)
+    }
+    var sawEmpty = false
+    for (_ <- 0 until 2) {
+      val byC = assign().groupBy(_._2)
+      sawEmpty ||= cents.exists(c => !byC.contains(c._1))
+      cents = cents.map { case (cid, c0) =>
+        byC.get(cid) match {
+          case Some(ms) =>
+            val m = ms.length.toLong
+            (cid, c0.indices.map { i =>
+              val sv = ms.map(x => q(x._1)(i)).sum
+              (sv - (((sv % m) + m) % m)) / m
+            })
+          case None => (cid, c0)
+        }
+      }
+    }
+    assert(sawEmpty, "fixture must actually empty a cluster (else it tests nothing)")
+    val expect = assign().map(v => (v._1, v._2)).toSet
+    val got = SparkEntry.queries("q79_kmeans")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      s"carry-forward mismatch: missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // (the emptied copy is the LARGER vec_id of the two clones — ties
+    // break cid-asc — and its carried centroid may legitimately win
+    // members back in round 2 once the survivor's centroid moves; the
+    // equality above covers both behaviors)
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
