@@ -99,6 +99,7 @@ object SparkEntry {
     "q80_shared_passages" -> (Queries.q80SharedPassages _),
     "q81_cohort_retention" -> (Queries.q81CohortRetention _),
     "q82_funnel" -> (Queries.q82Funnel _),
+    "q83_triangle_stats" -> (Queries.q83TriangleStats _),
     "c01_frontier_synth" -> (CrawlQueries.c01FrontierSynth _),
     "c02_robots_admission" -> (CrawlQueries.c02RobotsAdmission _),
     "c03_epoch_metrics" -> (CrawlQueries.c03EpochMetrics _),

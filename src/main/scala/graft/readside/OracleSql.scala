@@ -1408,6 +1408,47 @@ object OracleSql {
              CAST(CASE WHEN n_click = 0 THEN 0
                        ELSE n_purchase * 10000 // n_click END AS BIGINT)
                AS conv3_x1e4
-      FROM n"""
+      FROM n""",
+
+    // triangle stats: the q29 cosine edges, degree-ordered orientation,
+    // wedge join + closure probe, per-vertex counts — all replicated
+    // relationally (the edge membership is q29's value-gated predicate).
+    "q83_triangle_stats" -> """
+      WITH ed AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+              (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+               sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.4),
+      deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT u AS x FROM ed UNION ALL SELECT v AS x FROM ed)
+              GROUP BY x),
+      wd AS (SELECT ed.u, ed.v, du.deg AS du, dv.deg AS dv
+             FROM ed
+             JOIN deg du ON du.x = ed.u
+             JOIN deg dv ON dv.x = ed.v),
+      o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+                        THEN u ELSE v END AS p,
+                   CASE WHEN du < dv OR (du = dv AND u < v)
+                        THEN v ELSE u END AS q
+            FROM wd),
+      tri AS (SELECT e1.p AS a, e1.q AS b, e2.q AS c
+              FROM o e1
+              JOIN o e2 ON e1.p = e2.p AND e1.q < e2.q
+              JOIN ed e3 ON e3.u = least(e1.q, e2.q)
+                        AND e3.v = greatest(e1.q, e2.q)),
+      tv AS (SELECT x, CAST(count(*) AS BIGINT) AS n_tri
+             FROM (SELECT a AS x FROM tri UNION ALL
+                   SELECT b AS x FROM tri UNION ALL
+                   SELECT c AS x FROM tri)
+             GROUP BY x)
+      SELECT deg.x AS vec_id, deg.deg,
+             CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_tri,
+             CAST(CASE WHEN deg.deg < 2 THEN 0
+                       ELSE coalesce(tv.n_tri, 0) * 2 * 10000 //
+                            (deg.deg * (deg.deg - 1)) END AS BIGINT)
+               AS clustering_x1e4
+      FROM deg LEFT JOIN tv ON tv.x = deg.x
+      ORDER BY vec_id"""
   )
 }

@@ -2143,6 +2143,63 @@ object Queries {
         expr("CASE WHEN n_click = 0 THEN 0 ELSE n_purchase * 10000 div n_click END")
           .as("conv3_x1e4"))
 
+  /** q83: TRIANGLE COUNT + local clustering coefficient over the q29
+    * similarity graph — the graph-shape report on the near-dup edge set:
+    * a high clustering coefficient says near-dups come in dense families
+    * (template clusters, q41's connected components will be large), a
+    * low one says isolated pairs. Per vertex: degree, triangles through
+    * it, and 2·tri/(deg·(deg−1)) as an exact ×10⁴ integer.
+    *
+    * Scale shape: the textbook DEGREE-ORDERED orientation — every
+    * undirected edge points from its (deg, id)-smaller endpoint to the
+    * larger, so each triangle is found exactly once from its
+    * lowest-degree corner and the wedge join fans out O(m^1.5) total
+    * (never deg² on a hub — the skew lever high-degree template
+    * clusters would otherwise hit). The O(n²) cosine edge build is
+    * q29's (at scale the q41 LSH-confirmed feed is the drop-in edge
+    * source); edges materialize ONCE to scratch and feed the degree
+    * agg, the wedge self-join, and the closure probe without
+    * recomputing the pair scan. All-integer outputs; the oracle
+    * replicates orientation, wedges, and closure relationally over the
+    * same value-gated cosine edges. */
+  def q83TriangleStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val ed = materialize(s,
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v")))
+    val deg = ed.select(col("u").as("x")).union(ed.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val withDeg = ed
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("p"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("q"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.p") === col("e2.p") && col("e1.q") < col("e2.q"))
+      .join(ed.as("e3"),
+        least(col("e1.q"), col("e2.q")) === col("e3.u") &&
+        greatest(col("e1.q"), col("e2.q")) === col("e3.v"))
+      .select(col("e1.p").as("a"), col("e1.q").as("b"), col("e2.q").as("c"))
+    val triPerV = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerV, Seq("x"), "left")
+      .select(col("x").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering_x1e4",
+        expr("""CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+                ELSE n_tri * 2 * 10000 div (deg * (deg - 1)) END"""))
+      .orderBy(col("vec_id"))
+  }
+
   /** Document fingerprints (rolling-hash winnowing): fingerprint collision
     * groups. Spark-only (native codegen expression). */
   def q31Fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -1392,6 +1392,35 @@ class ReadsideSpec extends SparkSpec {
     // equality above covers both behaviors)
   }
 
+  test("q83 triangles: equals a brute-force count over the q29 edges; handshake identity; coefficient bounds") {
+    val edges = SparkEntry.queries("q29_cosine_near_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty, "fixture needs edges")
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = adj.keySet.toSeq.sorted
+    // brute force: every unordered triple with all three edges present
+    val triOf = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- verts; b <- adj(a) if b > a; c <- adj(b) if c > b
+      if edges.contains((a, c))
+    } { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
+    val expect = verts.map { v =>
+      val d = adj(v).size.toLong
+      (v, d, triOf(v), if (d < 2) 0L else triOf(v) * 2 * 10000 / (d * (d - 1)))
+    }.toSet
+    val got = SparkEntry.queries("q83_triangle_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == expect,
+      s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
+    // each triangle contributes to exactly 3 vertices (handshake identity)
+    assert(got.map(_._3).sum % 3 == 0)
+    got.foreach { case (v, d, t, cc) =>
+      assert(cc >= 0 && cc <= 10000, s"vertex $v coefficient out of range")
+      assert(t <= d * (d - 1) / 2, s"vertex $v more triangles than wedges")
+    }
+  }
+
   test("q71 sample quantiles: equals a driver reimplementation; sample merges across shards; estimates are sane") {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select($"source", $"doc_id", $"n_chars", xxhash64($"doc_id").as("h"))
