@@ -417,7 +417,18 @@ object CrawlQueries {
     * history must stay append-only for c20/c21). */
   def c22SnapshotDeletes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = Files.createTempDirectory("graft-snap-deletes").toString
+    // scratch on the fast base (tmpfs when available — the same base the
+    // read-side materialize uses): this query's whole working set is its
+    // own tiny table, so every one of its ~10 write/commit/read round
+    // trips otherwise pays slow-disk latency (guide §6)
+    val base = (sys.props.get("graft.scratch.dir") ++
+        sys.env.get("SPARK_GRAFT_BENCH_DIR")).iterator
+      .map(java.nio.file.Paths.get(_))
+      .find(p => Files.isDirectory(p) && Files.isWritable(p))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val rootDir = Files.createTempDirectory(base, "graft-snap-deletes").toFile
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(rootDir))
+    val root = rootDir.toString
     val log = new graft.sources.SnapshotLog(root, s.sparkContext.hadoopConfiguration)
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     def write(bucket: Int, epoch: Int, ids: Seq[Int]): Unit =
@@ -428,7 +439,10 @@ object CrawlQueries {
     def phase(name: String): (String, Long, Long, Long) = {
       val head = log.readLatest(s)
       val m = log.manifest(log.currentId().get)
-      (name, head.count(), head.agg(sum(col("id"))).head.getLong(0),
+      // count + sum in ONE aggregate job (was two separate actions per
+      // phase — this query's wall time is almost pure job-launch latency)
+      val agg = head.agg(count(lit(1)), sum(col("id"))).head
+      (name, agg.getLong(0), agg.getLong(1),
         m.files.count(_.isDelete).toLong)
     }
     write(0, 0, 1 to 10)

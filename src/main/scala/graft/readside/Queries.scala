@@ -39,6 +39,25 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5 "input skew" /
+    * §2.2): a parquet file is splittable only at row-group boundaries, so
+    * a small table written as one row group plans as a ONE-task scan and
+    * serializes every downstream per-row expression on a single core —
+    * regardless of cluster size. When (and only when) the planned scan
+    * parallelism is below the session's default parallelism, insert one
+    * round-robin exchange so the heavy per-row work (shingling, quality
+    * scoring, regex scrubbing, array folds) fans out across the executor
+    * cores. At real scale the condition disarms itself: a 100 TB table
+    * plans thousands of scan partitions, so no exchange is ever added —
+    * this is a derived-from-input-layout decision, not a local[32] tune.
+    * Callers apply it ONLY where downstream aggregation is per-row or
+    * integer-exact (row-order/partition-grouping never reaches a
+    * floating-point partial aggregate, so results are bit-identical). */
+  private def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Materialize `df` to a scratch parquet and read it back: cuts lineage
     * (so upstream caches can be released) WITHOUT collecting a single row
     * to the driver — the at-scale-safe replacement for the
@@ -270,7 +289,9 @@ object Queries {
     * raw vs distinct-canonical per court. */
   def q20UrlCanon(s: SparkSession, dir: String): DataFrame = {
     val prefixes = array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE"))
-    val raw0 = t(s, dir, "events").select(
+    // per-row canonicalization + regex over every event: fan the one-row-
+    // group scan out before it (int-only aggs downstream — fanout-safe)
+    val raw0 = fanout(t(s, dir, "events")).select(
       col("event_id"),
       format_string("https://h%d.example.org/?docid=%s%07d&p=1",
         pmod(col("user_id"), lit(20)),
@@ -293,7 +314,7 @@ object Queries {
 
   /** Token counting (whitespace + BPE-ish) rolled up by language. */
   def q21TokenStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("lang"),
         TextFunctions.tokenCount(col("text")).cast("bigint").as("toks"),
         TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("bpe"))
@@ -304,7 +325,7 @@ object Queries {
 
   /** Language-ID prediction distribution. */
   def q22LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(TextFunctions.langId(col("text")).as("pred_lang"))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n"))
@@ -313,7 +334,7 @@ object Queries {
   /** Per-document quality scores. Integer-scaled (×10⁴, explicit half-up
     * floor) so the DuckDB parity never depends on a round(double) tie. */
   def q23Quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), TextFunctions.qualityScoreX1e4(col("text")).as("quality_x1e4"))
       .orderBy(col("doc_id"))
 
@@ -353,7 +374,7 @@ object Queries {
     * single k-bit-prefix block whose within-block pairs grow quadratically
     * with the corpus. Spark-only. */
   def q26SimhashBlocks(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = fanout(t(s, dir, "documents"))
       .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh"))
     val chunks = (0 until 4).map(i => struct(lit(i).as("chunk_i"),
       shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk_v")))
@@ -1052,8 +1073,13 @@ object Queries {
         (a, b) => concat(a, lit(" "), b)),
       (a, b) => concat(a, lit(" "), b))
     // the corpus trigram stream — NARROW (explode never shuffles); built
-    // fresh per pass, the documented two scans of the corpus
-    def stream = t(s, dir, "documents")
+    // fresh per pass, the documented two scans of the corpus. Fanned out
+    // (scale-adaptive) so both the MG sketch pass and the exact confirm
+    // pass run on every core: the sketch's survivor set depends on the
+    // partitioning, but ANY partitioning yields a complete candidate
+    // superset (the per-partition pigeonhole argument above) and the
+    // exact confirm recount makes the final rows partitioning-invariant.
+    def stream = fanout(t(s, dir, "documents"))
       .select(toksCol.as("t"))
       .select(explode(tri).as("g"))
     val sketch = materialize(s, stream.as[String].mapPartitions { it =>
@@ -1200,9 +1226,15 @@ object Queries {
     * oracle counts the same trigrams as STRINGS (the q39/q42 hash≡string
     * pairing). */
   def q60ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
-    val grams = materialize(s, t(s, dir, "documents")
+    // r06: the gram table is persisted DIRECTLY (no scratch-parquet
+    // round-trip — the old materialize+persist paid a full write+read job
+    // for lineage the cache cut anyway), and the one-row-group scan fans
+    // out first so the explode runs on every core, not one. The final
+    // result is eagerly materialized below so the cache can be released
+    // before returning (never carried across invocations).
+    val grams = fanout(t(s, dir, "documents"))
       .select(col("doc_id"),
-        explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g")))
+        explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g"))
       .persist()
     val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -1225,12 +1257,17 @@ object Queries {
       .join(grams.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    common
+    val out = common
       .join(sz.select(col("doc_id").as("id_a"), col("n_a")), Seq("id_a"))
       .filter(col("n_common") * 10 >= col("n_a") * 9)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_common"),
         expr("n_common * 10000 div n_a").as("containment_x1e4"))
-      .orderBy(col("id_a"), col("id_b"))
+    // eager materialize + release (q27 discipline): the gram cache must
+    // not outlive the call, and a later identical invocation must
+    // recompute from the parquet inputs, never read this call's cache
+    val result = materialize(s, out)
+    grams.unpersist()
+    result.orderBy(col("id_a"), col("id_b"))
   }
 
   /** q61: corpus NOVELTY drift — per deterministic corpus slice ("epoch":
@@ -1248,7 +1285,7 @@ object Queries {
     val docs = t(s, dir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val width = maxId / 8 + 1 // 8 contiguous slices, integer-exact
-    val perGram = docs
+    val perGram = fanout(docs)
       .select(expr(s"doc_id div $width").as("slice"),
         explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g"))
       .groupBy(col("g"))
@@ -1374,7 +1411,7 @@ object Queries {
       // which DuckDB's || concatenation would instead propagate as NULL —
       // pin the one place the two engines disagree on null handling
       substring(coalesce(col("text"), lit("")), 1, 80))
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), body.as("body"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("body"), lit(emailPat), lit(0)))
@@ -1418,7 +1455,7 @@ object Queries {
     * (the q39/q42 hash≡string pairing). */
   def q65SubstringDupSpans(s: SparkSession, dir: String): DataFrame = {
     val L = 8
-    val docs = t(s, dir, "documents")
+    val docs = fanout(t(s, dir, "documents"))
     val base = docs.select(col("doc_id"),
       when(col("text").isNull || trim(col("text")) === "", 0L)
         .otherwise(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
@@ -1477,7 +1514,7 @@ object Queries {
     * absorbs ULP noise. */
   def q66PmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = t(s, dir, "documents")
+    val toks = fanout(t(s, dir, "documents"))
       .select(filter(split(norm, " "), x => x =!= "").as("t"))
     val pairs = toks
       .filter(size(col("t")) >= 2)
@@ -1601,7 +1638,7 @@ object Queries {
     * xxhash64 chain, Spark's pmod, 1-based slicing, and the sentinel
     * assembly exactly ([[SemOracleSql.q69Sql]]). */
   def q69FimSplit(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), normToks(lowercase = false).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("a", pmod(xxhash64(col("doc_id"), lit(0L)), col("n_tokens") + 1))
@@ -1653,7 +1690,7 @@ object Queries {
         when(c > acc.getField("cnt"),
           struct(c.as("cnt"), p.as("pos"))).otherwise(acc)
       })
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), toks.as("t"))
       .withColumn("hp", hitPos)
       .filter(size(col("hp")) > 0)
@@ -1798,7 +1835,7 @@ object Queries {
     * At 100 TB this is the textbook MapReduce index build, expressed
     * declaratively. Oracle is the plain relational form. */
   def q74InvertedIndex(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), explode(normToks(lowercase = true)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
@@ -1819,7 +1856,7 @@ object Queries {
     * grain. All-integer outputs (BIGINT `div`), so the oracle is the
     * plain relational form. */
   def q75VocabGrowth(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .filter(col("source").isNotNull)
       .select(col("source"), explode(normToks(lowercase = true)).as("tok"))
       .groupBy(col("source"), col("tok"))
@@ -1850,7 +1887,7 @@ object Queries {
     * passes reuse ONE sort within the same exchange. */
   def q76BigramLm(s: SparkSession, dir: String): DataFrame = {
     val wHead = Window.partitionBy(col("w1"))
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(normToks(lowercase = true).as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
@@ -1891,7 +1928,7 @@ object Queries {
     val d = 4
     val w = 1024
     val docs = t(s, dir, "documents")
-    val occ = docs.select(
+    val occ = fanout(docs).select(
       explode(GraftFunctions.wordNgramHashSeq(col("text"), 1)).as("h"))
     val sketch = occ.agg(CmsAggregator.cmsAgg(col("h"), d, w).as("sk"))
     val probes = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
@@ -1988,7 +2025,10 @@ object Queries {
     * two map passes + two tiny aggregations. */
   def q79KmeansLloyd(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val emb = t(s, dir, "embeddings").select(col("vec_id"),
+    // fanned out: the one-row-group scan otherwise runs all three Lloyd
+    // assignment passes (8 × dim integer distances per row) on one core;
+    // all aggregates are integer sums, so partitioning never moves a result
+    val emb = fanout(t(s, dir, "embeddings")).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("q"))
     val init = emb.withColumn("hs", xxhash64(col("vec_id")))
@@ -2246,7 +2286,7 @@ object Queries {
   /** A12/P16: distinct valid ECLIs extracted per document from constructed
     * mixed-validity text (regexp_extract_all → validate → array_distinct). */
   def q35EcliExtract(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"),
         format_string("ruling ECLI:DE:BGH:2023:%d cites ecli:de:bag:2021:%d and ECLI:XX:BGH:2023:%d dup ECLI:DE:BGH:2023:%d",
           col("doc_id"), col("doc_id"), col("doc_id"), col("doc_id")).as("body"))
@@ -2298,7 +2338,7 @@ object Queries {
     * (q21/q22/q23/q24/q33) can't give. Scale shape: one scan, one
     * hash-aggregate shuffle on 48-byte keys, no window, no driver state. */
   def q40CurationPipeline(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("pred_lang"),
         TextFunctions.qualityScoreX1e4(col("text")).as("quality_x1e4"),
@@ -2521,7 +2561,7 @@ object Queries {
     * counts string bigrams relationally) never touches float rounding. */
   def q44RepetitionStats(s: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    t(s, dir, "documents")
+    fanout(t(s, dir, "documents"))
       .select(col("doc_id"),
         size(split(norm, " ")).cast("bigint").as("n_tokens"),
         GraftFunctions.ngramMaxCount(col("text"), 2).as("max_bigram_n"))
