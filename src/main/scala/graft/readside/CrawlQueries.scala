@@ -378,10 +378,15 @@ object CrawlQueries {
   def c20SnapshotHistory(s: SparkSession, dir: String): DataFrame = {
     val wd = crawlDir(s)
     val log = new graft.sources.SnapshotPayloadSink(cfgBase.buckets).log(wd, s)
-    import s.implicits._
+    // ONE job for every time-travel count: tag each snapshot's file-set
+    // scan with its id and count grouped — the per-id sequential
+    // `read(id).count()` loop ran #snapshots serial jobs over largely
+    // overlapping file sets with idle cores between them (guide §2.6)
     val counts = log.snapshotIds()
-      .map(id => (id, log.read(s, id).count()))
-      .toDF("snapshot_id", "n_rows_at_snapshot")
+      .map(id => log.read(s, id).select(lit(id).as("snapshot_id")))
+      .reduce(_ unionByName _)
+      .groupBy(col("snapshot_id"))
+      .agg(count(lit(1)).as("n_rows_at_snapshot"))
     log.history(s).join(counts, "snapshot_id")
       .orderBy(col("snapshot_id"))
   }
@@ -399,8 +404,11 @@ object CrawlQueries {
     val ids = log.snapshotIds()
     ids.sliding(2).collect { case Seq(a, b) =>
       val delta = log.changes(s, a, b)
-      (a, b, delta.count(),
-        delta.select(col("crawl_epoch")).distinct().count())
+      // count + distinct-epoch count in ONE aggregate job per step (was
+      // two serial actions per step)
+      val agg = delta.agg(count(lit(1)),
+        countDistinct(col("crawl_epoch"))).head
+      (a, b, agg.getLong(0), agg.getLong(1))
     }.toSeq
       .toDF("from_snapshot", "to_snapshot", "n_rows_appended", "n_epochs_in_changelog")
       .orderBy(col("from_snapshot"))
@@ -431,6 +439,10 @@ object CrawlQueries {
     val root = rootDir.toString
     val log = new graft.sources.SnapshotLog(root, s.sparkContext.hadoopConfiguration)
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // (r06 negative result, kept for the record: scoped AQE-off was
+    // measured SLOWER here — fewer jobs but the same serial stage chain
+    // at the session's full shuffle-partition count; AQE's coalescing is
+    // worth more than its per-stage job launches even on a ≤23-row table.)
     def write(bucket: Int, epoch: Int, ids: Seq[Int]): Unit =
       ids.toDF("id").withColumn("host_bucket", lit(bucket))
         .withColumn("crawl_epoch", lit(epoch)).repartition(1)
@@ -461,8 +473,11 @@ object CrawlQueries {
     val p2 = phase("2_after_reinsert")
     log.materializeDeletes(s)
     val p3 = phase("3_materialized")
-    // the delete + materialize are non-append: the tail consumer re-bases
-    val rebased = try { tail.poll(s).foreach(_._1.count()); 0L }
+    // the delete + materialize are non-append: the tail consumer re-bases.
+    // poll() itself throws (SnapshotLog.changes validates the range
+    // driver-side before any job) — no count needed to surface it (r06:
+    // the old forced count was one pure-overhead job)
+    val rebased = try { tail.poll(s); 0L }
     catch { case _: IllegalStateException =>
       tail.ack(log.currentId().get); 1L }
     write(1, 3, Seq(22, 23))

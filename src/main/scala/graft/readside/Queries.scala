@@ -470,9 +470,10 @@ object Queries {
     val exploded = raw.join(broadcast(stopShingles), Seq("shingle"), "left_anti")
       .persist()
     // signature: min_i xxhash64(shingle, i) — one hash-agg, map-side
-    // partial. Materialized eagerly (one row per DOC — tiny): the band
-    // self-join references it twice, and without the cut each side would
-    // re-aggregate the full shingle table
+    // partial. The band self-join references it twice; AQE's exchange
+    // reuse dedupes the identical agg subtrees (r06 negative result: an
+    // explicit scratch-parquet materialize of sig was measured ~0.25 s
+    // SLOWER — the write+read jobs cost more than the reuse saves).
     val sig = exploded.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("sz"),
         (0 until numHashes).map(i =>
@@ -503,8 +504,7 @@ object Queries {
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .persist() // reused by the expansion join below
+      .distinct() // single consumer (the broadcast below) — no cache
     // relational jaccard: |A∩B| driven from the candidate-pair table —
     // NOT a raw shingle self-join, which blows up quadratically on
     // high-document-frequency shingles (every common shingle pairs all
@@ -539,7 +539,7 @@ object Queries {
     // cached datasets per q27 call for its whole life. No driver collect:
     // the pair list stays distributed end-to-end.
     val result = materialize(s, out)
-    raw.unpersist(); exploded.unpersist(); cand.unpersist()
+    raw.unpersist(); exploded.unpersist()
     result.orderBy(col("id_a"), col("id_b"))
   }
 
@@ -841,8 +841,11 @@ object Queries {
     val rawEdges = ev.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val outw = rawEdges.groupBy(col("src")).agg(sum(col("w")).as("wsrc"))
     val edges = materialize(s, rawEdges.join(outw, Seq("src"))).persist()
-    val nodes = materialize(s, edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()).persist()
+    // nodes: persist only (no scratch write+read — it is never referenced
+    // after the unpersist: the gated path returns driver rows and the
+    // distributed path's result plan reads only ranks/edges parquet)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count() // one scalar agg — the only driver value the loop needs
     val base = (total * 15L) / (100L * n)
     if (n <= driverGate) {
@@ -858,9 +861,12 @@ object Queries {
       val edgesDs = edges.select(col("src"), col("dst"), col("w"), col("wsrc"))
         .as[(Long, Long, Long, Long)]
       val nodeArr = nodes.as[Long].collect()
+      // one collect serves both the out-source set and the final wsrc
+      // lookup (was two separate distinct+collect jobs)
+      val srcW = edges.select(col("src"), col("wsrc")).distinct()
+        .as[(Long, Long)].collect()
       val outSrcs = new java.util.HashSet[java.lang.Long]()
-      edges.select(col("src")).distinct().as[Long].collect()
-        .foreach(x => outSrcs.add(x))
+      srcW.foreach { case (x, _) => outSrcs.add(x) }
       var ranks = new java.util.HashMap[java.lang.Long, java.lang.Long]()
       nodeArr.foreach(nd => ranks.put(nd, total / n))
       for (_ <- 1 to iters) {
@@ -898,9 +904,7 @@ object Queries {
         ranks = next
       }
       val wsrcOf = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-      edges.select(col("src"), col("wsrc")).distinct()
-        .as[(Long, Long)].collect()
-        .foreach { case (src, w) => wsrcOf.put(src, w) }
+      srcW.foreach { case (src, w) => wsrcOf.put(src, w) }
       val rows = nodeArr.toSeq.map { nd =>
         val w = wsrcOf.get(nd)
         (nd, if (w == null) 0L else w.longValue(), ranks.get(nd).longValue())
@@ -1236,29 +1240,34 @@ object Queries {
       .select(col("doc_id"),
         explode(GraftFunctions.wordNgramHashes(col("text"), 3)).as("g"))
       .persist()
-    val sz = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // prefix length for t = 0.9: n_a − ceil(0.9·n_a) + 1, all-integer
+    // prefix length for t = 0.9: n_a − ceil(0.9·n_a) + 1, all-integer.
+    // r06: n_a rides the SAME doc_id-partitioned window pass as the df
+    // rank (count over the partition — no ordering needed, one exchange,
+    // one sort) instead of a separate size aggregate joined back, and is
+    // then CARRIED through prefix → candidates → confirm, which deletes
+    // both size joins from the old plan (2 Exchange+Join fewer; values
+    // identical — n_a is functionally determined by id_a either way).
+    val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = grams.join(gdf, Seq("g"))
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("g"))))
+      .withColumn("n_a", count(lit(1)).over(wDoc))
       .filter(col("n_a") >= 8)
     val prefix = ranked
       .filter(col("rn") <= col("n_a") - expr("(9 * n_a + 9) div 10") + 1)
-      .select(col("doc_id").as("id_a"), col("g"))
+      .select(col("doc_id").as("id_a"), col("n_a"), col("g"))
     val cand = prefix
       .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"), col("n_a")).distinct()
     // exact confirm: candidate-bounded — expand A's grams onto the pair,
     // then count matches against B's gram set
     val common = cand
       .join(grams.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("n_common"))
     val out = common
-      .join(sz.select(col("doc_id").as("id_a"), col("n_a")), Seq("id_a"))
       .filter(col("n_common") * 10 >= col("n_a") * 9)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_common"),
         expr("n_common * 10000 div n_a").as("containment_x1e4"))
