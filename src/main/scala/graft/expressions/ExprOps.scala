@@ -393,4 +393,35 @@ object ExprOps {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Argmin centroid id by integer squared L2 distance — the q79 Lloyd
+    * assignment hot loop as straight compiled long arithmetic. Exactly
+    * replicates the declarative
+    * `array_min(transform(cands, c -> struct(Σ(q−c)², cid))).cid` form it
+    * replaces (r06, guide §4 — the nested higher-order functions fall out
+    * of whole-stage codegen and were the measured per-row cost): distance
+    * folded over the common prefix of q and the centroid (zip_with
+    * semantics at equal dims), ties on distance break to the SMALLER cid
+    * (struct ordering). Same 2⁶³ wraparound semantics as Spark's long
+    * multiply — identical on any input, not just the quantized fixture. */
+  def intL2ArgMin(q: ArrayData, cids: Array[Long], vecs: Array[Array[Long]]): Long = {
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var j = 0
+    while (j < vecs.length) {
+      val v = vecs(j)
+      val n = math.min(q.numElements(), v.length)
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val t = q.getLong(i) - v(i)
+        d += t * t
+        i += 1
+      }
+      val c = cids(j)
+      if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+      j += 1
+    }
+    bestC
+  }
 }

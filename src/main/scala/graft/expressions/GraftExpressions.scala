@@ -130,6 +130,33 @@ case class TermFreqsExpr(child: Expression, terms: Seq[String])
   override def prettyName: String = "term_freqs"
 }
 
+/** Nearest-centroid id by integer squared L2 over an `array<bigint>`
+  * vector against a fixed candidate set (the q79 Lloyd assignment):
+  * one codegen'd expression evaluation per row instead of the nested
+  * transform/aggregate/zip_with higher-order chain, which has no
+  * whole-stage codegen path and was the measured per-row cost (r06).
+  * `cands` is part of the case-class identity (Seq equality), so plan
+  * canonicalization and the codegen cache treat distinct centroid sets
+  * as distinct expressions. */
+case class IntL2ArgMinExpr(child: Expression, cands: Seq[(Long, Seq[Long])])
+    extends UnaryExpression {
+  @transient private lazy val cidArr: Array[Long] = cands.map(_._1).toArray
+  @transient private lazy val vecArr: Array[Array[Long]] =
+    cands.map(_._2.toArray).toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.intL2ArgMin(v.asInstanceOf[ArrayData], cidArr, vecArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val vecsRef = ctx.addReferenceObj("vecs", vecArr, "long[][]")
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.intL2ArgMin($c, $cidsRef, $vecsRef);"
+    })
+  override protected def withNewChildInternal(c: Expression): IntL2ArgMinExpr =
+    copy(child = c)
+  override def prettyName: String = "int_l2_argmin"
+}
+
 case class SrpBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -191,4 +218,7 @@ object GraftFunctions {
 
   def termFreqs(text: Column, terms: Seq[String]): Column =
     Bridge.column(TermFreqsExpr(Bridge.expression(text), terms))
+
+  def intL2ArgMin(q: Column, cands: Seq[(Long, Seq[Long])]): Column =
+    Bridge.column(IntL2ArgMinExpr(Bridge.expression(q), cands))
 }

@@ -2044,16 +2044,14 @@ object Queries {
       .orderBy(col("hs"), col("vec_id")).limit(k)
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    def assigned(cents: Array[(Long, Array[Long])]): DataFrame = {
-      val cands = array(cents.map { case (cid, c) =>
-        struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("v"))
-      }: _*)
-      val scored = transform(cands, c => struct(
-        aggregate(zip_with(col("q"), c.getField("v"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
-        c.getField("cid").as("cid")))
-      emb.withColumn("cid", array_min(scored).getField("cid"))
-    }
+    // assignment via the native codegen argmin (guide §4): the previous
+    // transform/aggregate/zip_with chain has no whole-stage-codegen path
+    // and its interpreted lambda evaluation was the measured per-row cost;
+    // IntL2ArgMinExpr replicates its distance fold and (d, cid) tie order
+    // exactly (ExtensionsSpec pins native ≡ declarative on random vectors)
+    def assigned(cents: Array[(Long, Array[Long])]): DataFrame =
+      emb.withColumn("cid", GraftFunctions.intL2ArgMin(col("q"),
+        cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq))
     def updated(a: DataFrame,
         prev: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] = {
       val sums = a.select(col("cid"), posexplode(col("q")).as(Seq("i", "v")))

@@ -47,6 +47,38 @@ class ExtensionsSpec extends SparkSpec {
     api.zip(sql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("int_l2_argmin native ≡ declarative HOF argmin (incl. distance ties)") {
+    // the declarative form IntL2ArgMinExpr replaced (q79's old assignment):
+    // array_min over struct(Σ(q−c)², cid) — min distance, tie → min cid
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents: Seq[(Long, Seq[Long])] = (0 until 8).map { j =>
+      (10L + j, Seq.fill(dim)(rnd.nextInt(2000000).toLong - 1000000))
+    }
+    // rows: random vectors PLUS exact copies of centroids 3 and 5 shifted
+    // to collide (tie case: two candidates at identical distance)
+    val tieCents = cents.updated(5, (15L, cents(3)._2)) // cid 13 and 15 same vector
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextInt(2000000).toLong - 1000000))) ++
+      tieCents.map { case (cid, v) => (100 + cid, v) }
+    val df = rows.toDF("id", "q")
+    for (cs <- Seq(cents, tieCents)) {
+      val cands = array(cs.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("v"))
+      }: _*)
+      val scored = transform(cands, c => struct(
+        aggregate(zip_with(col("q"), c.getField("v"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+        c.getField("cid").as("cid")))
+      val both = df
+        .withColumn("hof", array_min(scored).getField("cid"))
+        .withColumn("nat", GraftFunctions.intL2ArgMin(col("q"), cs))
+        .collect()
+      both.foreach(r => assert(r.getLong(2) == r.getLong(3),
+        s"id=${r.getLong(0)}: hof=${r.getLong(2)} native=${r.getLong(3)}"))
+    }
+  }
+
   test("SQL ≡ Column API: term_freqs (variadic string-literal terms)") {
     val api = docs.select(col("doc_id"),
         GraftFunctions.termFreqs(col("text"), Seq("spark", "window")).as("tf"))
