@@ -394,11 +394,17 @@ object CrawlLoop {
         count(when(col("_2") === Politeness.Sched.Deferred, 1)).as("deferred"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val admitted = scheduled.filter(_._2 == Politeness.Sched.Admitted)
-      .map { case (k, _, slot) => AdmittedUrl(k.url_canon, k.url_hash,
-        k.docid, k.court, k.host, k.host_bucket, k.path, k.sitemap_seq,
-        k.entry_seq, k.discovered_epoch, k.lastmod, slot) }
-    val deferred = scheduled.filter(_._2 == Politeness.Sched.Deferred).map(_._1)
+    // r06: columnar filter+projection instead of typed filter+map — the
+    // typed path deserialized the FULL KeyedUrl (incl. per-row
+    // java.sql.Timestamp construction, a top frame in 32-core stack
+    // samples) for every scheduled row in BOTH branches, then
+    // re-serialized; the select copies internal rows with zero object
+    // churn. Same rows, same fields (as[...] resolves by name).
+    val admitted = scheduled.filter(col("_2") === Politeness.Sched.Admitted)
+      .select(col("_1.*"), col("_3").as("slot"))
+      .as[AdmittedUrl]
+    val deferred = scheduled.filter(col("_2") === Politeness.Sched.Deferred)
+      .select(col("_1.*")).as[KeyedUrl]
 
     // 5. simulated fetch + decode + invariant validation — NOT cached:
     // results carry the full payload bytes, and pushing them through the

@@ -221,7 +221,14 @@ object Fetch {
     admitted.mapPartitions { rows =>
       rows.map { a =>
         val outcome = Outcomes.of(a.url_hash, epoch)
-        val imageId = f"${a.docid}%s-${a.url_hash}%016x"
+        // manual zero-padded hex ≡ f"%016x" (r06: the f-interpolator
+        // compiles to String.format — java.util.Formatter re-parses the
+        // format string on EVERY fetched row, a sampled hot frame)
+        val hex = java.lang.Long.toHexString(a.url_hash)
+        val imageId = new java.lang.StringBuilder(a.docid.length + 17)
+          .append(a.docid).append('-')
+          .append("0000000000000000", 0, 16 - hex.length)
+          .append(hex).toString
         if (outcome == Status.Rejected) {
           // the declared header is hostile: either an oversize length or a
           // decompression-bomb dimension pair; the predicate — not the

@@ -65,7 +65,15 @@ object FrontierSynth {
       .withColumn("host_idx",
         least(floor(pow(lit(numHosts.toDouble), col("u"))) - 1.0, lit((numHosts - 1).toDouble))
           .cast("long"))
-      .withColumn("host", format_string("h%04d.courts.example", col("host_idx")))
+      // r06: concat/lpad instead of format_string — java.util.Formatter
+      // re-parses the format per ROW and was ~19% of busy executor
+      // samples in the 32-core crawl profile; lpad/concat are codegen
+      // string ops. Byte-identical: %04d pads to AT LEAST 4 (never
+      // truncates), hence the >9999 guard mirroring Formatter semantics.
+      .withColumn("host", concat(lit("h"),
+        when(col("host_idx") > 9999L, col("host_idx").cast("string"))
+          .otherwise(lpad(col("host_idx").cast("string"), 4, "0")),
+        lit(".courts.example")))
       .withColumn("prefix", element_at(
         array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE")),
         (pmod(col("r1"), lit(5L)) + 1).cast("int")))
@@ -83,9 +91,12 @@ object FrontierSynth {
         when(pmod(col("r2"), lit(31L)) === 0, lit("/private/docs"))
           .otherwise(when(col("is_mirror"), lit("/jportal/mirror"))
             .otherwise(lit("/jportal/docs"))))
-      .withColumn("url_clean", format_string(
-        "https://%s%s/?quelle=jlink&docid=%s%07d&psml=bsjrsprod.psml&max=true",
-        col("host"), col("path"), col("prefix"), col("docnum")))
+      // docnum ∈ [0, 10⁷) by construction (pmod), so lpad(…, 7, "0") is
+      // exactly %07d here — no truncation case exists
+      .withColumn("url_clean", concat(
+        lit("https://"), col("host"), col("path"), lit("/?quelle=jlink&docid="),
+        col("prefix"), lpad(col("docnum").cast("string"), 7, "0"),
+        lit("&psml=bsjrsprod.psml&max=true")))
       // whitespace-noise fixture: ~5% of ROWS get a tab+newline injected
       .withColumn("url",
         when(pmod(col("r3"), lit(20L)) === 0,

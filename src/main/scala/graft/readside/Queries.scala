@@ -291,12 +291,15 @@ object Queries {
     val prefixes = array(lit("KARE"), lit("KORE"), lit("KSRE"), lit("WBRE"), lit("JURE"))
     // per-row canonicalization + regex over every event: fan the one-row-
     // group scan out before it (int-only aggs downstream — fanout-safe)
+    // concat/lpad instead of format_string (r06: Formatter re-parses the
+    // format per row); pmod(event_id, 500) < 10⁷ so lpad ≡ %07d exactly
     val raw0 = fanout(t(s, dir, "events")).select(
       col("event_id"),
-      format_string("https://h%d.example.org/?docid=%s%07d&p=1",
-        pmod(col("user_id"), lit(20)),
+      concat(lit("https://h"), pmod(col("user_id"), lit(20)).cast("string"),
+        lit(".example.org/?docid="),
         element_at(prefixes, (pmod(col("event_id"), lit(5)) + 1).cast("int")),
-        pmod(col("event_id"), lit(500))).as("raw"))
+        lpad(pmod(col("event_id"), lit(500)).cast("string"), 7, "0"),
+        lit("&p=1")).as("raw"))
     val noisy = raw0.withColumn("raw",
       when(pmod(col("event_id"), lit(7)) === 0,
         regexp_replace(col("raw"), "&", " &\t")).otherwise(col("raw")))
