@@ -46,7 +46,18 @@ object PayloadSink extends PayloadStore {
   def writePayload(results: Dataset[FetchResult], workDir: String, epoch: Int): Unit = {
     val spark = results.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // r06: REBALANCE on the partition key before the partitioned write
+    // (guide §6) — the fetch output arrives host-partitioned, so every
+    // task held rows of up to `buckets` partition dirs: one file per
+    // (task × dir) — ~tasks×buckets small files per epoch — plus a
+    // by-partition-key sort of the payload rows inside every task
+    // (FileFormatWriter's single-writer path; a sampled hot frame). The
+    // AQE rebalance clusters rows by host_bucket at the advisory size,
+    // SPLITTING the Zipf-hot bucket instead of making it a straggler
+    // (plain repartition(host_bucket) would), so each task writes ~one
+    // right-sized file and the writer-side sort sees already-equal keys.
     payloadFrame(results)
+      .hint("rebalance", col("host_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("host_bucket", "crawl_epoch")
       .parquet(s"$workDir/payload")
