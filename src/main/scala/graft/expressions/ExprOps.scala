@@ -226,7 +226,19 @@ object ExprOps {
     * gram) pairs. Fewer than n tokens (or empty text) → EMPTY array: a
     * doc too short to hold one window contributes no spans to
     * substring-duplication analysis (q65); whole-short-doc identity is
-    * exact dedup's job (q24). */
+    * exact dedup's job (q24).
+    *
+    * Shared caveat (ADVICE r05): [[wordNgramHashes]]/[[shingleHashes]]
+    * remap an FNV hash of exactly 0 to 1 (0 is their open-addressing
+    * empty-slot sentinel); this positional form and the DuckDB FNV
+    * `list_reduce` oracles (q72/q77) do NOT. A token whose FNV-64 hash is
+    * exactly 0 would therefore diverge between the two families — the
+    * same astronomically-unlikely single-point event class as the
+    * documented q24 192-bit collision argument (P[h=0] = 2⁻⁶⁴ per
+    * distinct gram). Kept asymmetric deliberately: the remap cannot be
+    * added here or to the oracle SQL without changing frozen oracle
+    * results, and removing it from the distinct-form would break its
+    * sentinel. */
   def wordNgramHashSeq(text: UTF8String, n: Int): ArrayData = {
     val lower = text.toLowerCase.getBytes
     val buf = new Array[Byte](lower.length)

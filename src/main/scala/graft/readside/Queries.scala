@@ -1468,8 +1468,17 @@ object Queries {
   def q65SubstringDupSpans(s: SparkSession, dir: String): DataFrame = {
     val L = 8
     val docs = fanout(t(s, dir, "documents"))
+    // blank test COLLAPSES whitespace runs first, then trims (r06, ADVICE
+    // fix): Spark's trim strips only 0x20 spaces, so a tab/newline-only
+    // document passed the old raw-text trim test and got n_tokens = 1
+    // (split of "" yields [""]) while the oracle, the spec's driver
+    // reimplementation (String.trim), and the shared normToks discipline
+    // all yield 0 — a latent engine⇄oracle divergence the fixture never
+    // hit. Collapse-then-trim matches all three; fixture outputs
+    // unchanged (verified bit-identical).
     val base = docs.select(col("doc_id"),
-      when(col("text").isNull || trim(col("text")) === "", 0L)
+      when(col("text").isNull ||
+          trim(regexp_replace(col("text"), "\\s+", " ")) === "", 0L)
         .otherwise(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
           .cast("bigint")).as("n_tokens"))
     val occ = docs

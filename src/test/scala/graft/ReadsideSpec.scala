@@ -908,15 +908,22 @@ class ReadsideSpec extends SparkSpec {
     // another doc must show one span covering exactly 11 tokens (the
     // merged maximal span of its 4 overlapping duplicated windows)
     val quoted = "the court finds the appeal admissible and in part well founded"
+    // doc 3 is ONLY tabs/newlines (no 0x20): ADVICE r05's latent case —
+    // Spark's trim strips only spaces, so the old raw-trim blank test let
+    // it through with n_tokens = 1 while this reimplementation
+    // (String.trim) and the oracle yield 0; the collapse-then-trim fix
+    // makes the engine agree
     val eng = Seq(
       (1L, s"preamble words here $quoted and some closing remarks follow now"),
-      (2L, s"totally different opening statement mentions that $quoted before ending otherwise"))
+      (2L, s"totally different opening statement mentions that $quoted before ending otherwise"),
+      (3L, "\t\n\t\n"))
     val tmp = java.nio.file.Files.createTempDirectory("q65eng").toString
     eng.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
     val e = SparkEntry.queries("q65_substr_dup_spans")(spark, tmp)
       .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(e(1L)._4 == 1L && e(1L)._3 == 11L, s"doc1: ${e(1L)}")
     assert(e(2L)._4 == 1L && e(2L)._3 == 11L, s"doc2: ${e(2L)}")
+    assert(e(3L)._2 == 0L, s"tabs-only doc must have n_tokens = 0: ${e(3L)}")
     assert(spans(occOf(eng), nTokOf(eng)) ==
       e.map { case (k, r) => k -> ((r._2, r._3, r._4, r._5)) })
   }
