@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 import graft.expressions._
 
 /** SQL surface for the native expressions (SURVEY.md §2.10): makes every
@@ -38,6 +38,12 @@ object GraftExtensions {
     case Literal(v: Long, LongType)   => v
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got: $other")
+  }
+
+  private def boolLit(e: Expression, fn: String, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a boolean literal, got: $other")
   }
 
   private def strLit(e: Expression, fn: String, what: String): String = e match {
@@ -116,6 +122,17 @@ object GraftExtensions {
         case Seq(c, n) => WordNgramHashSeqExpr(c,
           intLit(n, "graft_word_ngram_hash_seq", "n"))
         case as        => arity("graft_word_ngram_hash_seq", as.size, "2")
+      }),
+    (FunctionIdentifier("graft_word_ngrams"),
+      desc("graft_word_ngrams", classOf[WordNgramsExpr],
+        "graft_word_ngrams(text, n[, lowercase]) - positional (all-occurrence) word n-grams as strings (default lowercase=true)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => WordNgramsExpr(c,
+          intLit(n, "graft_word_ngrams", "n"), lowercase = true)
+        case Seq(c, n, lc) => WordNgramsExpr(c,
+          intLit(n, "graft_word_ngrams", "n"),
+          boolLit(lc, "graft_word_ngrams", "lowercase"))
+        case as        => arity("graft_word_ngrams", as.size, "2 or 3")
       }),
     (FunctionIdentifier("graft_ngram_max_count"),
       desc("graft_ngram_max_count", classOf[NgramMaxCountExpr],

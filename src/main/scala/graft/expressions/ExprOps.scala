@@ -272,6 +272,59 @@ object ExprOps {
       .fromPrimitiveArray(out)
   }
 
+  /** All word n-grams of the normalized text as STRINGS in positional
+    * order — the string-valued sibling of [[wordNgramHashSeq]]: identical
+    * normalization (ASCII-\s runs collapsed to one 0x20, leading/trailing
+    * runs dropped, `lowercase` via UTF8String.toLowerCase — the same
+    * lowering Spark's `lower()` performs) and identical byte spans
+    * (n tokens incl. single separating spaces), occurrences KEPT.
+    * Emits row-for-row what the declarative chain
+    * `explode(filter(split(trim(regexp_replace([lower(]text[)], "\\s+",
+    * " ")), " "), x -> x != ""))` (n = 1) / its zip_with-sliced n-gram
+    * build (n > 1) emits: Java's `\s` is exactly the 6 ASCII bytes
+    * [[isWs]] tests, those bytes never occur inside a multi-byte UTF-8
+    * sequence (continuation bytes are ≥ 0x80), and no Unicode lowering
+    * maps a non-whitespace char onto ASCII whitespace — so byte-level
+    * scanning of the lowered text is exact, with zero regex/String
+    * churn and no interpreted higher-order functions (the measured
+    * per-row cost of the q56/q66/q74-class text operators, r06).
+    * Fewer than n tokens (or empty text) → EMPTY array (the
+    * [[wordNgramHashSeq]] convention). NULL text → NULL via the
+    * expression's null-safety: adoption sites that relied on
+    * `normToks`'s null→[] coercion must coalesce explicitly. */
+  def wordNgrams(text: UTF8String, n: Int, lowercase: Boolean): ArrayData = {
+    val src = (if (lowercase) text.toLowerCase else text).getBytes
+    val buf = new Array[Byte](src.length)
+    var m = 0
+    var i = 0
+    var inWs = true // leading ws dropped
+    while (i < src.length) {
+      val b = src(i)
+      if (isWs(b)) { if (!inWs && m > 0) { buf(m) = ' '; m += 1 }; inWs = true }
+      else { buf(m) = b; m += 1; inWs = false }
+      i += 1
+    }
+    if (m > 0 && buf(m - 1) == ' ') m -= 1 // trailing collapsed ws
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    i = 0
+    while (i < m) { if (buf(i) == ' ') starts += i + 1; i += 1 }
+    val nTok = if (m == 0) 0 else starts.length
+    if (nTok < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val nGrams = nTok - n + 1
+    val out = new Array[Any](nGrams)
+    i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val until = if (i + n < nTok) starts(i + n) - 1 else m
+      // fromBytes shares `buf` (no copy); buf is never mutated after this
+      out(i) = UTF8String.fromBytes(buf, from, until - from)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Max occurrence count of any word n-gram in the normalized text
     * (same tokenization as [[wordNgramHashes]]) — the Gopher/C4-style
     * repetition signal: a doc whose most common 2-gram covers a large

@@ -100,6 +100,24 @@ case class WordNgramHashSeqExpr(child: Expression, n: Int)
   override def prettyName: String = "word_ngram_hash_seq"
 }
 
+/** Positional word n-grams as STRINGS (all occurrences, index = token
+  * position of the gram start) — the codegen replacement for the
+  * interpreted `regexp_replace + split + filter (+ zip_with/slice)`
+  * tokenize/n-gram chains on the corpus-scan hot path; see
+  * [[ExprOps.wordNgrams]] for the exact equivalence contract. */
+case class WordNgramsExpr(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.wordNgrams(v.asInstanceOf[UTF8String], n, lowercase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.wordNgrams($c, $n, $lowercase);")
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+  override def prettyName: String = "word_ngrams"
+}
+
 case class NgramMaxCountExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -212,6 +230,9 @@ object GraftFunctions {
 
   def wordNgramHashSeq(text: Column, n: Int): Column =
     Bridge.column(WordNgramHashSeqExpr(Bridge.expression(text), n))
+
+  def wordNgrams(text: Column, n: Int, lowercase: Boolean = true): Column =
+    Bridge.column(WordNgramsExpr(Bridge.expression(text), n, lowercase))
 
   def ngramMaxCount(text: Column, n: Int = 2): Column =
     Bridge.column(NgramMaxCountExpr(Bridge.expression(text), n))

@@ -763,19 +763,16 @@ object Queries {
     * reduce moves slim (doc_id, λ) pairs. Nothing is ever all-pairs and
     * the corpus text is scanned once. */
   def q52DsirSelection(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toksCol = filter(split(norm, " "), x => x =!= "")
-    val nBi = greatest(size(col("t")) - 1, lit(0))
     // feature stream: unigrams + bigrams, multiplicity preserved (DSIR's
-    // bag model — the distinct-set wordNgramHashes expr can't count bags)
+    // bag model — the distinct-set wordNgramHashes expr can't count
+    // bags; the positional wordNgrams STRING expr can, r06): unigram ++
+    // bigram concat in the same order the former toks ++ zip_with chain
+    // exploded, hashed with the same xxhash64-of-string
     val feats = t(s, dir, "documents")
-      .select(col("doc_id"), toksCol.as("t"))
-      .withColumn("bi", zip_with(
-        slice(col("t"), lit(1), nBi), slice(col("t"), lit(2), nBi),
-        (a, b) => concat(a, lit(" "), b)))
       .select(col("doc_id"),
         (pmod(col("doc_id"), lit(17)) === 3).as("tgt"),
-        explode(concat(col("t"), col("bi"))).as("g"))
+        explode(concat(GraftFunctions.wordNgrams(col("text"), 1),
+          GraftFunctions.wordNgrams(col("text"), 2))).as("g"))
       .select(col("doc_id"), col("tgt"), xxhash64(col("g")).as("ng"))
     val cnt = feats.groupBy(col("ng")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
@@ -1047,16 +1044,20 @@ object Queries {
     * nearly every token in the corpus to find a handful of rows. The
     * two-pass shape instead:
     *   pass 1 — a NARROW mapPartitions MG sketch (k = φ−1 counters per
-    *     partition, amortized O(1)/item): any gram with partition count
-    *     > N_p/φ survives; since global freq > 1/φ forces partition freq
+    *     partition, amortized O(1)/item) over the PRIMITIVE FNV-64
+    *     trigram-hash stream (r06 — no string ever reaches the sketch):
+    *     any gram with partition count > N_p/φ has a hash with at least
+    *     that count, and since global freq > 1/φ forces partition freq
     *     > 1/φ somewhere (a weighted average cannot exceed its max), the
-    *     union of survivors is a COMPLETE candidate set. Candidates are
-    *     bounded by k·P rows regardless of corpus size; each partition
-    *     also emits one sentinel row carrying its token count, so N needs
-    *     no extra scan.
-    *   pass 2 — broadcast the candidates back as a semi-join probe and
-    *     exact-count ONLY matching occurrences: the one shuffle moves a
-    *     keyspace of ≤ k·P grams, not the corpus.
+    *     union of hash survivors is a COMPLETE candidate set (collisions
+    *     only ADD candidates). Candidates are bounded by k·P rows
+    *     regardless of corpus size; each partition also emits one
+    *     sentinel row carrying its token count, so N needs no extra scan.
+    *   pass 2 — broadcast the candidate hashes back as a semi-join probe
+    *     and exact-count matching occurrences at STRING grain: the one
+    *     shuffle moves a keyspace of ≤ k·P grams, not the corpus, and
+    *     every surviving row is its own exact count, so hash collisions
+    *     cannot leak a non-heavy gram through the final threshold.
     * Output is exact (no sketch error in the result — the sketch only
     * prunes), so the DuckDB oracle is the plain relational HAVING query.
     * ReadsideSpec additionally forces heavy eviction (φ = 8) and pins
@@ -1069,48 +1070,44 @@ object Queries {
     import spark.implicits._
     require(phi >= 2, s"phi must be >= 2, got $phi")
     val k = phi - 1
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toksCol = filter(split(norm, " "), x => x =!= "")
-    val nTri = greatest(size(col("t")) - 2, lit(0))
-    // trigrams via the q52 zip_with/slice pattern (empty-safe: slice with
-    // len 0 yields an empty array, so docs under 3 tokens emit nothing)
-    val tri = zip_with(
-      slice(col("t"), lit(1), nTri),
-      zip_with(slice(col("t"), lit(2), nTri), slice(col("t"), lit(3), nTri),
-        (a, b) => concat(a, lit(" "), b)),
-      (a, b) => concat(a, lit(" "), b))
-    // the corpus trigram stream — NARROW (explode never shuffles); built
-    // fresh per pass, the documented two scans of the corpus. Fanned out
-    // (scale-adaptive) so both the MG sketch pass and the exact confirm
-    // pass run on every core: the sketch's survivor set depends on the
-    // partitioning, but ANY partitioning yields a complete candidate
-    // superset (the per-partition pigeonhole argument above) and the
-    // exact confirm recount makes the final rows partitioning-invariant.
-    def stream = fanout(t(s, dir, "documents"))
-      .select(toksCol.as("t"))
-      .select(explode(tri).as("g"))
-    val sketch = materialize(s, stream.as[String].mapPartitions { it =>
+    // pass 1 runs on the PRIMITIVE FNV-64 trigram-hash stream (r06: the
+    // string-keyed MG map — per-item String deserialization + hashing —
+    // was the measured residual cost after the tokenizer went native;
+    // wordNgramHashSeq emits one long per trigram occurrence, native and
+    // codegen-resident). Completeness is unchanged a fortiori:
+    // count(hash) ≥ count(gram), so a gram with partition frequency
+    // > N_p/φ has a hash with partition frequency > N_p/φ and the hash
+    // survivor union remains a COMPLETE candidate superset; FNV
+    // collisions can only ADD candidate hashes, and the exact
+    // string-grain confirm recount (pass 2) filters every candidate by
+    // its own exact count — so the final rows are invariant to both the
+    // partitioning and the hashing. Fanned out (scale-adaptive) so both
+    // corpus passes run on every core.
+    def hashStream = fanout(t(s, dir, "documents"))
+      .select(explode(GraftFunctions.wordNgramHashSeq(col("text"), 3)).as("h"))
+    val sketch = materialize(s, hashStream.as[Long].mapPartitions { it =>
       // Misra–Gries with k counters: decrement-all on overflow. Each
       // decrement round is O(k) but retires k+1 stream credits, so the
       // whole pass is amortized O(1) per item and O(k) memory.
-      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
       var n = 0L
-      it.foreach { g =>
+      it.foreach { h =>
         n += 1L
-        m.get(g) match {
-          case Some(c) => m.update(g, c + 1L)
-          case None if m.size < k => m.update(g, 1L)
+        m.get(h) match {
+          case Some(c) => m.update(h, c + 1L)
+          case None if m.size < k => m.update(h, 1L)
           case None =>
             m.mapValuesInPlace((_, c) => c - 1L)
             m.filterInPlace((_, c) => c > 0L)
         }
       }
-      // survivors + one sentinel row (g = "", impossible for a real gram:
-      // tokens are non-empty by construction) carrying the partition count
-      m.iterator.map { case (g, c) => (g, c, false) } ++
-        Iterator(("", n, true))
-    }.toDF("g", "cnt", "sentinel"))
-    val cands = sketch.filter(!col("sentinel")).select(col("g")).distinct()
+      // survivors + one sentinel row carrying the partition count (the
+      // boolean flag disambiguates — a real trigram hash may be any
+      // long, including 0: the Seq variant does NOT 0-remap)
+      m.iterator.map { case (h, c) => (h, c, false) } ++
+        Iterator((0L, n, true))
+    }.toDF("h", "cnt", "sentinel"))
+    val cands = sketch.filter(!col("sentinel")).select(col("h")).distinct()
     // COUNT-GATED broadcast (the Deletes.applyTombstones discipline): the
     // candidate bound is k·P, which at φ=4096 × thousands of partitions
     // can reach tens of millions of rows — an unconditional broadcast()
@@ -1123,7 +1120,15 @@ object Queries {
       if (cands.count() <= bcastCap) broadcast(cands) else cands
     val nTot = sketch.filter(col("sentinel"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_total"))
-    stream.join(candSide, Seq("g"))
+    // pass 2 — exact confirm at STRING grain: gram strings from the
+    // native tokenizer, keyed back to the candidate hashes by the same
+    // FNV-64 fold pass 1 saw (wordNgramHashSeq over the already-
+    // normalized gram covers its whole byte span — the identical value)
+    fanout(t(s, dir, "documents"))
+      .select(explode(GraftFunctions.wordNgrams(col("text"), 3)).as("g"))
+      .withColumn("h",
+        element_at(GraftFunctions.wordNgramHashSeq(col("g"), 3), 1))
+      .join(candSide, Seq("h"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(nTot))
       .filter(col("cnt") * phi > col("n_total"))
@@ -1534,16 +1539,19 @@ object Queries {
     * with the DuckDB oracle, and the ×10⁴ half-up floor (q23 convention)
     * absorbs ULP noise. */
   def q66PmiBigrams(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = fanout(t(s, dir, "documents"))
-      .select(filter(split(norm, " "), x => x =!= "").as("t"))
-    val pairs = toks
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // both corpus passes tokenize via the native codegen n-gram expr
+    // (r06): the bigram pass emits "a b" gram strings — tokens contain
+    // no spaces, so splitting the gram at its single space with
+    // substring_index (codegen) recovers exactly the (a, b) pair the
+    // former interpreted transform/sequence/struct chain built; docs
+    // under 2 tokens emit nothing in both shapes (empty-below-n).
+    val docs = fanout(t(s, dir, "documents"))
+    val pairs = docs
+      .select(explode(GraftFunctions.wordNgrams(col("text"), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("a"),
+        substring_index(col("g"), " ", -1).as("b"))
     val pairCnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-    val uni = toks.select(explode(col("t")).as("w"))
+    val uni = docs.select(explode(GraftFunctions.wordNgrams(col("text"), 1)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum(col("c")).as("n_tok"))
     val nBig = pairCnt.agg(sum(col("n_ab")).as("n_big"))
@@ -1660,7 +1668,12 @@ object Queries {
     * assembly exactly ([[SemOracleSql.q69Sql]]). */
   def q69FimSplit(s: SparkSession, dir: String): DataFrame = {
     fanout(t(s, dir, "documents"))
-      .select(col("doc_id"), normToks(lowercase = false).as("t"))
+      // native codegen tokenizer (r06), case-preserving; coalesce keeps
+      // normToks's null→[] coercion (a null doc must still emit its
+      // "<PRE><SUF><MID>" sentinel row, not a null)
+      .select(col("doc_id"),
+        coalesce(GraftFunctions.wordNgrams(col("text"), 1, lowercase = false),
+          array().cast("array<string>")).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("a", pmod(xxhash64(col("doc_id"), lit(0L)), col("n_tokens") + 1))
       .withColumn("b", pmod(xxhash64(col("doc_id"), lit(1L)), col("n_tokens") + 1))
@@ -1699,7 +1712,10 @@ object Queries {
     * integer counts, exact snippet strings. */
   def q70BestPassage(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "window", "vector")
-    val toks = normToks(lowercase = true)
+    // native codegen tokenizer (r06): null docs yield a null token array
+    // here where normToks yielded [] — both are dropped by the
+    // size(hp) > 0 filter below, so the emitted rows are identical
+    val toks = GraftFunctions.wordNgrams(col("text"), 1)
     val hitPos = filter(
       transform(col("t"), (x, i) =>
         when(x.isInCollection(terms), i.cast("long")).otherwise(lit(-1L))),
@@ -1819,7 +1835,9 @@ object Queries {
   def q73TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("source").isNotNull)
     val tf = docs
-      .select(col("source"), explode(normToks(lowercase = true)).as("tok"))
+      // native codegen tokenizer (r06): ≡ explode(normToks(true))
+      .select(col("source"),
+        explode(GraftFunctions.wordNgrams(col("text"), 1)).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // driver scalar over the slim source column (q47's bucket-sizing
@@ -1857,7 +1875,10 @@ object Queries {
     * declaratively. Oracle is the plain relational form. */
   def q74InvertedIndex(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
-      .select(col("doc_id"), explode(normToks(lowercase = true)).as("term"))
+      // native codegen tokenizer (r06): ≡ explode(normToks(true)) —
+      // null/blank docs emit no rows in both shapes
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordNgrams(col("text"), 1)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
@@ -1879,7 +1900,9 @@ object Queries {
   def q75VocabGrowth(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
       .filter(col("source").isNotNull)
-      .select(col("source"), explode(normToks(lowercase = true)).as("tok"))
+      // native codegen tokenizer (r06): ≡ explode(normToks(true))
+      .select(col("source"),
+        explode(GraftFunctions.wordNgrams(col("text"), 1)).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"))
@@ -1908,13 +1931,14 @@ object Queries {
     * passes reuse ONE sort within the same exchange. */
   def q76BigramLm(s: SparkSession, dir: String): DataFrame = {
     val wHead = Window.partitionBy(col("w1"))
+    // native codegen bigram stream (r06): "w1 w2" gram strings split at
+    // their single space via substring_index — row-for-row equal to the
+    // former normToks + zip_with/slice struct chain (docs under 2 tokens
+    // emit nothing in both shapes)
     fanout(t(s, dir, "documents"))
-      .select(normToks(lowercase = true).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-           (a, b) -> named_struct('w1', a, 'w2', b))""")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(explode(GraftFunctions.wordNgrams(col("text"), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .withColumn("c1", sum(col("c12")).over(wHead))
@@ -1953,7 +1977,8 @@ object Queries {
       explode(GraftFunctions.wordNgramHashSeq(col("text"), 1)).as("h"))
     val sketch = occ.agg(CmsAggregator.cmsAgg(col("h"), d, w).as("sk"))
     val probes = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-      .select(explode(normToks(lowercase = true)).as("tok")).distinct()
+      .select(explode(GraftFunctions.wordNgrams(col("text"), 1)).as("tok"))
+      .distinct()
       .withColumn("h", element_at(GraftFunctions.wordNgramHashes(col("tok"), 1), 1))
     val exact = occ.join(broadcast(probes), Seq("h"))
       .groupBy(col("tok"), col("h"))
@@ -1990,7 +2015,9 @@ object Queries {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count() // driver scalar: idf's corpus constant
     val tf = docs
-      .select(col("doc_id"), explode(normToks(lowercase = true)).as("term"))
+      // native codegen tokenizer (r06): ≡ explode(normToks(true))
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordNgrams(col("text"), 1)).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val posts = tf
@@ -2722,10 +2749,12 @@ object Queries {
   private[graft] def q47WithBuckets(s: SparkSession, dir: String,
       nb: Long): DataFrame = {
     val seqLen = 512L
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // native codegen token count (r06): size(wordNgrams(text, 1)) ≡
+    // size(array_remove(split(norm, " "), "")) — blank docs 0 both
+    // ways, null docs null both ways (filtered below either way)
     val perdoc = materialize(s, t(s, dir, "documents")
       .select(col("doc_id"),
-        size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"))
+        size(GraftFunctions.wordNgrams(col("text"), 1)).cast("bigint").as("n_tok"))
       .filter(col("n_tok") > 0))
     prefixStartTok(s, perdoc, nb)
       .select(col("doc_id"), col("n_tok"), col("start_tok"),
@@ -2789,9 +2818,11 @@ object Queries {
     * (~n²/2¹⁹²). */
   def q48ChunkDedup(s: SparkSession, dir: String): DataFrame = {
     val cw = 16
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // native codegen tokenizer (r06): wordNgrams(text, 1) ≡
+    // array_remove(split(norm, " "), "") (null → null, dropped by the
+    // size filter in both shapes)
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), array_remove(split(norm, " "), "").as("toks"))
+      .select(col("doc_id"), GraftFunctions.wordNgrams(col("text"), 1).as("toks"))
       .filter(size(col("toks")) > 0)
     val chunks = d
       .withColumn("chunk_id",
@@ -2874,10 +2905,11 @@ object Queries {
   def q50TrainingAssembly(s: SparkSession, dir: String): DataFrame = {
     val seqLen = 256L
     val target = 200L
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // native codegen token count (r06): ≡ size(array_remove(split(norm,
+    // " "), "")) — the q47 argument
     val base = materialize(s, t(s, dir, "documents").select(
         col("doc_id"), col("source"),
-        size(array_remove(split(norm, " "), "")).cast("bigint").as("n_tok"),
+        size(GraftFunctions.wordNgrams(col("text"), 1)).cast("bigint").as("n_tok"),
         GraftFunctions.ngramMaxCount(col("text"), 2).as("maxbg__"),
         xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
       .filter(col("n_tok") >= 16 && col("maxbg__") * 10 < col("n_tok")))

@@ -79,6 +79,69 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams native ≡ declarative regex/split/zip_with chain (n=1..3, both cases)") {
+    // the declarative form WordNgramsExpr replaced on the corpus-scan hot
+    // path (q47/q48/q50/q52/q56/q66/q69/q70/q73–q78): lower → collapse
+    // \s+ runs → trim → split → drop empties → zip_with/slice n-gram
+    // build. Hostile rows exercise every boundary the byte-level kernel
+    // must reproduce: whitespace-only (tabs/VT/FF — NOT stripped by
+    // Spark's 0x20-only trim, the q65 ADVICE class), empty, null,
+    // multi-byte lowering (ß, dotted İ, final sigma), NBSP (U+00A0 is
+    // NOT Java-regex \s — must stay inside a token), leading/trailing
+    // runs, and a real-corpus slice.
+    val hostile = Seq[(Long, String)](
+      (1L, "Hello  World\tfoo\nBar"),
+      (2L, "\t\n\r "),
+      (3L, ""),
+      (4L, null),
+      (5L, "ÄÖÜ Straße İstanbul ΣΙΓΜΑΣ"),
+      (6L, "one"),
+      (7L, "  lead and trail  "),
+      (8L, "a b c"))
+    val df = hostile.toDF("doc_id", "text").unionByName(
+      docs.limit(60).select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    for (n <- Seq(1, 2, 3); lc <- Seq(true, false)) {
+      val base = if (lc) lower(col("text")) else col("text")
+      val norm = trim(regexp_replace(base, "\\s+", " "))
+      val toks = filter(split(norm, " "), x => x =!= "")
+      val nG = greatest(size(col("t")) - (n - 1), lit(0))
+      val gram = n match {
+        case 1 => col("t")
+        case 2 => zip_with(slice(col("t"), lit(1), nG), slice(col("t"), lit(2), nG),
+          (a, b) => concat(a, lit(" "), b))
+        case _ => zip_with(slice(col("t"), lit(1), nG),
+          zip_with(slice(col("t"), lit(2), nG), slice(col("t"), lit(3), nG),
+            (a, b) => concat(a, lit(" "), b)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      val rows = df.select(col("doc_id"), toks.as("t"),
+          GraftFunctions.wordNgrams(col("text"), n, lc).as("nat"))
+        .select(col("doc_id"), gram.as("decl"), col("nat"))
+        .collect()
+      assert(rows.length == hostile.length + 60)
+      rows.foreach { r =>
+        val decl = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        val nat = if (r.isNullAt(2)) null else r.getSeq[String](2)
+        assert(decl == nat,
+          s"doc_id=${r.get(0)} n=$n lowercase=$lc: decl=$decl native=$nat")
+      }
+    }
+  }
+
+  test("SQL ≡ Column API: word_ngrams (incl. lowercase arg)") {
+    val api = docs.select(col("doc_id"),
+        GraftFunctions.wordNgrams(col("text"), 2).as("g2"),
+        GraftFunctions.wordNgrams(col("text"), 1, lowercase = false).as("g1r"))
+      .orderBy("doc_id").collect()
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       graft_word_ngrams(text, 2)        AS g2,
+        |       graft_word_ngrams(text, 1, false) AS g1r
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(api.length == sql.length && api.length > 0)
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("SQL ≡ Column API: term_freqs (variadic string-literal terms)") {
     val api = docs.select(col("doc_id"),
         GraftFunctions.termFreqs(col("text"), Seq("spark", "window")).as("tf"))
