@@ -42,10 +42,45 @@ object Transport {
   private val Magic0: Byte = 0x1f.toByte
   private val Magic1: Byte = 0x8b.toByte
 
+  // r06: GZIPOutputStream/GZIPInputStream construct a fresh
+  // Deflater/Inflater PER CALL, and each construction + close
+  // registers/deregisters a Cleaner entry on a globally SYNCHRONIZED
+  // linked list — at 32 fetch threads `PhantomCleanable.remove` was a
+  // top busy leaf frame in jstack samples of the crawl stage. The wire
+  // bytes are transient (the DECOMPRESSED body is what is validated and
+  // stored), so the codec needs round-trip fidelity, not cross-JVM byte
+  // stability: one Deflater/Inflater/CRC32 per THREAD, reset per call —
+  // zero per-call native-state churn. Same RFC 1952 single-member frame
+  // GZIPOutputStream writes (fixed 10-byte FLG=0 header, deflate body,
+  // CRC32+ISIZE trailer), and the decoder verifies both trailer fields
+  // like GZIPInputStream does. Deliberate narrowing: concatenated
+  // multi-member streams (which GZIPInputStream transparently joins) are
+  // rejected — no producer in this engine or its fixtures emits them.
+  private val deflTL = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val inflTL = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater(true))
+  private val crcTL = ThreadLocal.withInitial[java.util.zip.CRC32](() =>
+    new java.util.zip.CRC32)
+
   def gzip(body: Array[Byte]): Array[Byte] = {
+    val d = deflTL.get(); d.reset()
+    val crc = crcTL.get(); crc.reset(); crc.update(body)
     val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(body); gz.close()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0), 0, 10)
+    d.setInput(body); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    val v = crc.getValue
+    val isize = body.length.toLong
+    bos.write(Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte,
+      (isize & 0xff).toByte, ((isize >> 8) & 0xff).toByte,
+      ((isize >> 16) & 0xff).toByte, ((isize >> 24) & 0xff).toByte), 0, 8)
     bos.toByteArray
   }
 
@@ -53,23 +88,53 @@ object Transport {
     b != null && b.length >= 2 && b(0) == Magic0 && b(1) == Magic1
 
   /** Transparent body decode: passthrough for identity encoding, inflate
-    * for gzip; None on a corrupt stream or past the expansion cap. */
+    * for gzip; None on a corrupt stream (bad deflate data, truncation,
+    * CRC or ISIZE mismatch) or past the expansion cap. Accepts the full
+    * RFC 1952 member header (FEXTRA/FNAME/FCOMMENT/FHCRC skipped like
+    * GZIPInputStream parses them; the header CRC16 itself is not
+    * verified — the content CRC32 still guards every output byte). */
   def decodeBody(wire: Array[Byte],
       maxLen: Long = SecurityPredicates.MaxDeclaredBytes): Option[Array[Byte]] = {
     if (!isGzipped(wire)) return Option(wire)
     try {
-      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(wire))
+      if (wire.length < 18 || wire(2) != 8) return None // CM must be deflate
+      val flg = wire(3) & 0xff
+      var p = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > wire.length) return None
+        p += 2 + ((wire(p) & 0xff) | ((wire(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { while (p < wire.length && wire(p) != 0) p += 1; p += 1 }
+      if ((flg & 16) != 0) { while (p < wire.length && wire(p) != 0) p += 1; p += 1 }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= wire.length - 8) return None
+      val inf = inflTL.get(); inf.reset()
+      inf.setInput(wire, p, wire.length - p)
       val out = new java.io.ByteArrayOutputStream(math.min(wire.length * 4L, 1 << 16).toInt)
       val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
+      val crc = crcTL.get(); crc.reset()
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        // zero progress while unfinished = truncated input or a needed
+        // preset dictionary — both corrupt for this transport (also the
+        // loop-termination guarantee: every iteration progresses or exits)
+        if (n == 0 && !inf.finished()) return None
         out.write(buf, 0, n)
+        crc.update(buf, 0, n)
         if (out.size() > maxLen) return None // bomb guard
-        n = in.read(buf)
       }
-      in.close()
+      val rem = inf.getRemaining
+      if (rem != 8) return None // exactly one member + trailer
+      val tOff = wire.length - 8
+      def le32(o: Int): Long = (wire(o) & 0xffL) | ((wire(o + 1) & 0xffL) << 8) |
+        ((wire(o + 2) & 0xffL) << 16) | ((wire(o + 3) & 0xffL) << 24)
+      if (le32(tOff) != crc.getValue ||
+          le32(tOff + 4) != (out.size().toLong & 0xffffffffL)) return None
       Some(out.toByteArray)
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
   }
 }
 
