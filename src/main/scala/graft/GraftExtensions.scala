@@ -143,6 +143,16 @@ object GraftExtensions {
           intLit(n, "graft_ngram_max_count", "n"))
         case as        => arity("graft_ngram_max_count", as.size, "1 or 2")
       }),
+    (FunctionIdentifier("graft_text_stats"),
+      desc("graft_text_stats", classOf[TextStatsExpr],
+        "graft_text_stats(text) - [n_chars, n_alpha, n_punct, n_toks, n_bpe, en_hits, de_hits, fr_hits] in one native pass (fixed en/de/fr stopword inventories)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TextStatsExpr(c,
+          graft.functions.TextFunctions.EnStop,
+          graft.functions.TextFunctions.DeStop,
+          graft.functions.TextFunctions.FrStop)
+        case as     => arity("graft_text_stats", as.size, "1")
+      }),
     (FunctionIdentifier("graft_term_freqs"),
       desc("graft_term_freqs", classOf[TermFreqsExpr],
         "graft_term_freqs(text, term, ...) - [n_tokens, count(term_1), ...] in one tokenize pass (BM25 per-row stats)."),

@@ -373,6 +373,152 @@ object ExprOps {
     best
   }
 
+  /** Decode the UTF-8 code point whose LEAD byte is at `i` (malformed /
+    * truncated sequences yield U+FFFD, which is not a letter/digit —
+    * boundary-neutral, matching the replacement the JVM decoder would
+    * produce). */
+  private def codePointAt(bytes: Array[Byte], i: Int): Int = {
+    val b0 = bytes(i) & 0xff
+    if (b0 < 0x80) b0
+    else if ((b0 & 0xe0) == 0xc0 && i + 1 < bytes.length)
+      ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+    else if ((b0 & 0xf0) == 0xe0 && i + 2 < bytes.length)
+      ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+    else if ((b0 & 0xf8) == 0xf0 && i + 3 < bytes.length)
+      ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+        ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+    else 0xFFFD
+  }
+
+  /** Java-regex `\b` word-char test for the code point ENDING just
+    * before byte offset `p` (walks back over continuation bytes). NOTE
+    * the JDK quirk the FunctionsSpec pin nails down: `\b`'s word class
+    * is `'_' || Character.isLetterOrDigit` — UNICODE letters/digits are
+    * word chars — even though `\w` itself is ASCII-only without
+    * UNICODE_CHARACTER_CLASS ('é' blocks a boundary; NBSP does not). */
+  private def isBoundWordBefore(bytes: Array[Byte], p: Int): Boolean = {
+    var s = p - 1
+    while (s > 0 && (bytes(s) & 0xc0) == 0x80) s -= 1
+    val cp = codePointAt(bytes, s)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+
+  /** [[isBoundWordBefore]]'s right-side twin: the code point STARTING at
+    * byte offset `q`. */
+  private def isBoundWordAt(bytes: Array[Byte], q: Int): Boolean = {
+    val cp = codePointAt(bytes, q)
+    cp == '_' || Character.isLetterOrDigit(cp)
+  }
+
+  /** Non-overlapping count of `\b(w1|...|wk)\b` matches of the (already
+    * lowercased) byte string — the Java-regex semantics of
+    * `regexp_extract_all` replicated byte-for-byte: alternatives tried in
+    * ORDER at each position, `\b` per the Unicode-letter word class
+    * above (so multi-byte chars INSIDE a pattern literal like "für"
+    * match, while "éthe" does NOT match `\bthe\b` — 'é' is a word char),
+    * a match resumes the scan at its end, a failed position advances by
+    * one byte (safe: every word starts with an ASCII letter, and UTF-8
+    * continuation bytes can never equal one, so byte-grain advance
+    * visits no extra match positions vs the engine's char-grain
+    * advance). */
+  private def stopScan(bytes: Array[Byte], words: Array[Array[Byte]]): Long = {
+    val n = bytes.length
+    var cnt = 0L
+    var p = 0
+    while (p < n) {
+      var matched = 0
+      var wi = 0
+      while (matched == 0 && wi < words.length) {
+        val w = words(wi)
+        if (p + w.length <= n && bytes(p) == w(0)) {
+          var k = 1
+          while (k < w.length && bytes(p + k) == w(k)) k += 1
+          if (k == w.length &&
+              (p == 0 || !isBoundWordBefore(bytes, p)) &&
+              (p + k == n || !isBoundWordAt(bytes, p + k)))
+            matched = w.length
+        }
+        wi += 1
+      }
+      if (matched > 0) { cnt += 1; p += matched } else p += 1
+    }
+    cnt
+  }
+
+  /** One fused pass over the text computing every per-row count the
+    * TextFunctions quality/langid family needs, as
+    * `[n_chars, n_alpha, n_punct, n_toks, n_bpe, en_hits, de_hits,
+    * fr_hits]` — the codegen replacement for ~9 regex traversals per row
+    * (3× `\b(...)\b` stopword scans ×2 call sites via codegen CSE, 2
+    * char-class regexp_replace length probes, one `\s+` split, one
+    * 3-alternative regexp_extract_all). Each count replicates the exact
+    * built-in semantics it replaces:
+    *  - n_chars = length(text): code points (count of non-continuation
+    *    bytes — Spark's UTF8String.numChars);
+    *  - n_alpha / n_punct = length(regexp_replace(text, "[^A-Za-z]" /
+    *    "[^.,;:!?|#@*]", "")): ASCII-class member counts (single-byte,
+    *    never inside a UTF-8 sequence);
+    *  - n_toks = size(split(trim(text), "\\s+")) with blank→0: trim
+    *    strips 0x20 ONLY; Java split with limit -1 keeps leading AND
+    *    trailing empty segments, so the count is (whitespace runs
+    *    within the space-trimmed span) + 1, and 0 when that span is
+    *    empty (the declarative form's `when` wrapper);
+    *  - n_bpe = size(regexp_extract_all(text,
+    *    "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]", 0)): letter runs count 1,
+    *    each digit 1, each non-alnum non-\s CODE POINT 1 (Java regex
+    *    classes match by code point — a 4-byte emoji is one token);
+    *  - en/de/fr = [[stopScan]] over toLowerCase(text) (the same
+    *    lowering `lower()` performs).
+    * Null-safety is the expression's (null text → null array). */
+  def textStats(text: UTF8String, en: Array[Array[Byte]],
+      de: Array[Array[Byte]], fr: Array[Array[Byte]]): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var chars = 0L; var alpha = 0L; var punct = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) chars += 1
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1
+      else if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' ||
+               b == '?' || b == '|' || b == '#' || b == '@' || b == '*') punct += 1
+      i += 1
+    }
+    // n_toks: space-trim bounds, then whitespace-run count + 1
+    var s = 0; var e = n
+    while (s < n && bytes(s) == ' ') s += 1
+    while (e > s && bytes(e - 1) == ' ') e -= 1
+    var toks = 0L
+    if (e > s) {
+      var runs = 0L; var prevWs = false
+      var j = s
+      while (j < e) {
+        val w = isWs(bytes(j))
+        if (w && !prevWs) runs += 1
+        prevWs = w
+        j += 1
+      }
+      toks = runs + 1
+    }
+    var bpe = 0L
+    i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+        bpe += 1; i += 1
+        while (i < n && ((bytes(i) >= 'A' && bytes(i) <= 'Z') ||
+            (bytes(i) >= 'a' && bytes(i) <= 'z'))) i += 1
+      } else if (b >= '0' && b <= '9') { bpe += 1; i += 1 }
+      else if (isWs(b)) i += 1
+      else if ((b & 0x80) == 0) { bpe += 1; i += 1 }
+      else { bpe += 1; i += UTF8String.numBytesForFirstByte(b) }
+    }
+    val low = text.toLowerCase.getBytes
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(chars, alpha, punct, toks, bpe,
+        stopScan(low, en), stopScan(low, de), stopScan(low, fr)))
+  }
+
   /** One-pass whitespace tokenize + multi-term frequency count over the
     * LOWERCASED text: returns `[n_tokens, count(term_0), …, count(term_k)]`
     * as longs. A token is a maximal non-whitespace run; term match is byte

@@ -105,8 +105,13 @@ case class WordNgramHashSeqExpr(child: Expression, n: Int)
   * interpreted `regexp_replace + split + filter (+ zip_with/slice)`
   * tokenize/n-gram chains on the corpus-scan hot path; see
   * [[ExprOps.wordNgrams]] for the exact equivalence contract. */
-case class WordNgramsExpr(child: Expression, n: Int, lowercase: Boolean)
-    extends UnaryExpression {
+case class WordNgramsExpr(child: Expression, n: Int, lowercase: Boolean,
+    pinned: Boolean = false) extends UnaryExpression {
+  // `pinned` = the TextStatsExpr plan-shape pin (see there): declares
+  // non-determinism so a filter on a column derived from this array is
+  // not pushed below the projection with the kernel inlined per
+  // reference (q48's size(toks) > 0 guard). Kernel itself deterministic.
+  override lazy val deterministic: Boolean = !pinned
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     ExprOps.wordNgrams(v.asInstanceOf[UTF8String], n, lowercase)
@@ -129,6 +134,48 @@ case class NgramMaxCountExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): NgramMaxCountExpr =
     copy(child = c)
   override def prettyName: String = "ngram_max_count"
+}
+
+/** Fused per-row text statistics `[n_chars, n_alpha, n_punct, n_toks,
+  * n_bpe, en_hits, de_hits, fr_hits]` — see [[ExprOps.textStats]] for
+  * the per-count equivalence contract with the declarative regex chains
+  * it replaces (TextFunctions quality/langid/token-count family). The
+  * stopword inventories are part of the case-class identity, so plan
+  * canonicalization treats distinct inventories as distinct
+  * expressions. */
+case class TextStatsExpr(child: Expression, en: Seq[String], de: Seq[String],
+    fr: Seq[String], pinned: Boolean = false) extends UnaryExpression {
+  // guide-§4.4 class of problem: a filter on columns DERIVED from this
+  // array is pushed below the projection with the alias INLINED ONCE PER
+  // REFERENCE — measured on q40: ~20 inlined kernel copies in the pushed
+  // Condition, 2.3× slower than the regex chains it replaced — and
+  // codegen subexpression elimination cannot rescue references sitting
+  // in CASE-WHEN branches. A `pinned` instance declares itself
+  // non-deterministic so PushPredicateThroughProject / CollapseProject
+  // refuse to duplicate it; the kernel itself IS deterministic — the
+  // flag is purely a plan-shape pin, used by TextFunctions.textStatsCol
+  // (the multi-consumer projection path). Inline single-use sites keep
+  // the default deterministic=true.
+  override lazy val deterministic: Boolean = !pinned
+  @transient private lazy val enB: Array[Array[Byte]] =
+    en.map(w => UTF8String.fromString(w).getBytes).toArray
+  @transient private lazy val deB: Array[Array[Byte]] =
+    de.map(w => UTF8String.fromString(w).getBytes).toArray
+  @transient private lazy val frB: Array[Array[Byte]] =
+    fr.map(w => UTF8String.fromString(w).getBytes).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.textStats(v.asInstanceOf[UTF8String], enB, deB, frB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val enRef = ctx.addReferenceObj("enStop", enB, "byte[][]")
+      val deRef = ctx.addReferenceObj("deStop", deB, "byte[][]")
+      val frRef = ctx.addReferenceObj("frStop", frB, "byte[][]")
+      s"${ev.value} = graft.expressions.ExprOps$$.MODULE$$.textStats($c, $enRef, $deRef, $frRef);"
+    })
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "text_stats"
 }
 
 case class TermFreqsExpr(child: Expression, terms: Seq[String])
@@ -231,11 +278,16 @@ object GraftFunctions {
   def wordNgramHashSeq(text: Column, n: Int): Column =
     Bridge.column(WordNgramHashSeqExpr(Bridge.expression(text), n))
 
-  def wordNgrams(text: Column, n: Int, lowercase: Boolean = true): Column =
-    Bridge.column(WordNgramsExpr(Bridge.expression(text), n, lowercase))
+  def wordNgrams(text: Column, n: Int, lowercase: Boolean = true,
+      pinned: Boolean = false): Column =
+    Bridge.column(WordNgramsExpr(Bridge.expression(text), n, lowercase, pinned))
 
   def ngramMaxCount(text: Column, n: Int = 2): Column =
     Bridge.column(NgramMaxCountExpr(Bridge.expression(text), n))
+
+  def textStats(text: Column, en: Seq[String], de: Seq[String],
+      fr: Seq[String], pinned: Boolean = false): Column =
+    Bridge.column(TextStatsExpr(Bridge.expression(text), en, de, fr, pinned))
 
   def termFreqs(text: Column, terms: Seq[String]): Column =
     Bridge.column(TermFreqsExpr(Bridge.expression(text), terms))

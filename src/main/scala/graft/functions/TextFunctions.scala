@@ -16,32 +16,70 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count; blank → 0. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
-
-  /** BPE-ish subword-count estimate: letter runs, digits, and individual
-    * punctuation marks each count as one token. */
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
-
   // Stopword inventories for the n-gram language heuristic. Kept tiny and
-  // high-frequency so the regex stays cheap at 100 TB scan scale.
+  // high-frequency so the scan stays cheap at 100 TB scale.
   val EnStop = Seq("the", "and", "of", "to", "is", "in", "that", "with", "for", "was")
   val DeStop = Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "für", "den")
   val FrStop = Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des")
 
+  // r06: every count below comes from ONE fused native pass
+  // (ExprOps.textStats — [n_chars, n_alpha, n_punct, n_toks, n_bpe,
+  // en, de, fr]) instead of ~9 interpreted regex traversals per row;
+  // identical expression trees across the derived columns collapse to a
+  // single evaluation under whole-stage-codegen subexpression
+  // elimination. The double arithmetic and null behavior below are
+  // UNCHANGED — the kernel only replaces the integer counting, each
+  // count proven equal to its regex form (see the kernel's scaladoc;
+  // FunctionsSpec pins the whole family against the declarative chains
+  // on corpus + hostile rows).
+  private def stats(text: Column): Column =
+    graft.expressions.GraftFunctions.textStats(text, EnStop, DeStop, FrStop)
+
+  /** The stats array as an explicit column, for query shapes that derive
+    * SEVERAL of the functions below from one text column: project this
+    * ONCE (`withColumn("st__", textStatsCol(...))`) and use the
+    * `...FromStats` variants against it. This matters because the
+    * derived CASE expressions reference the array from conditional
+    * branches, which whole-stage-codegen subexpression elimination does
+    * NOT extract — inlined, the kernel would run once per REFERENCE
+    * (measured: q40 2.3× slower) — while CollapseProject keeps a
+    * non-cheap multi-referenced projection in its own Project, so the
+    * named column pins exactly one evaluation per row. The instance is
+    * `pinned` (plan-shape non-determinism, see TextStatsExpr) so a
+    * FILTER on the derived columns cannot be pushed below the
+    * projection with the kernel inlined per reference. */
+  def textStatsCol(text: Column): Column =
+    graft.expressions.GraftFunctions.textStats(text, EnStop, DeStop, FrStop,
+      pinned = true)
+
+  /** Whitespace token count; blank → 0. */
+  def tokenCount(text: Column): Column = tokenCountFromStats(stats(text))
+
+  def tokenCountFromStats(st: Column): Column =
+    element_at(st, 4).cast("int")
+
+  /** BPE-ish subword-count estimate: letter runs, digits, and individual
+    * punctuation marks each count as one token. */
+  def bpeTokenCount(text: Column): Column = bpeTokenCountFromStats(stats(text))
+
+  def bpeTokenCountFromStats(st: Column): Column =
+    element_at(st, 5).cast("int")
+
+  /** Generic stopword-hit count (regex form — kept for ad-hoc
+    * inventories; the fixed en/de/fr inventories go through the fused
+    * native pass instead). */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),
       lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
 
   /** Language-ID by stopword evidence; ties / no evidence → "unknown".
     * Priority on exact ties: en > de > fr (deterministic). */
-  def langId(text: Column): Column = {
-    val en = stopwordHits(text, EnStop)
-    val de = stopwordHits(text, DeStop)
-    val fr = stopwordHits(text, FrStop)
+  def langId(text: Column): Column = langIdFromStats(text, stats(text))
+
+  def langIdFromStats(text: Column, st: Column): Column = {
+    val en = element_at(st, 6)
+    val de = element_at(st, 7)
+    val fr = element_at(st, 8)
     when(text.isNull, lit("unknown"))
       .when(en === 0 && de === 0 && fr === 0, lit("unknown"))
       .when(en >= de && en >= fr, lit("en"))
@@ -53,12 +91,15 @@ object TextFunctions {
     * stopword evidence, and a length sanity term. Deterministic double,
     * rounded to 4 decimals so the DuckDB oracle hashes identically. */
   def qualityScore(text: Column): Column = {
-    val len = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val punct = length(regexp_replace(text, "[^.,;:!?|#@*]", "")).cast("double")
-    val toks = tokenCount(text).cast("double")
-    val stops = (stopwordHits(text, EnStop) + stopwordHits(text, DeStop) +
-      stopwordHits(text, FrStop)).cast("double")
+    val st = stats(text)
+    val len = element_at(st, 1).cast("double")
+    // (single-function call sites only — multi-function shapes go
+    // through textStatsCol + the FromStats variants, see above)
+    val alpha = element_at(st, 2).cast("double")
+    val punct = element_at(st, 3).cast("double")
+    val toks = element_at(st, 4).cast("double")
+    val stops = (element_at(st, 6) + element_at(st, 7) + element_at(st, 8))
+      .cast("double")
     val alphaRatio = when(len === 0, 0.0).otherwise(alpha / len)
     val punctPenalty = when(len === 0, 1.0).otherwise(least(punct * 10.0 / len, lit(1.0)))
     val stopRatio = when(toks === 0, 0.0).otherwise(least(stops * 4.0 / toks, lit(1.0)))
@@ -75,14 +116,18 @@ object TextFunctions {
     * engines (observed: spark=0.5388 vs oracle=0.5387). `floor` on the
     * identical IEEE double is bit-deterministic in both. The double itself
     * is identical because both sides compute the same formula in the same
-    * operation order. */
-  def qualityScoreX1e4(text: Column): Column = {
-    val len = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val punct = length(regexp_replace(text, "[^.,;:!?|#@*]", "")).cast("double")
-    val toks = tokenCount(text).cast("double")
-    val stops = (stopwordHits(text, EnStop) + stopwordHits(text, DeStop) +
-      stopwordHits(text, FrStop)).cast("double")
+    * operation order (the r06 kernel swap changed only where the INTEGER
+    * counts come from, not one double op). */
+  def qualityScoreX1e4(text: Column): Column =
+    qualityScoreX1e4FromStats(stats(text))
+
+  def qualityScoreX1e4FromStats(st: Column): Column = {
+    val len = element_at(st, 1).cast("double")
+    val alpha = element_at(st, 2).cast("double")
+    val punct = element_at(st, 3).cast("double")
+    val toks = element_at(st, 4).cast("double")
+    val stops = (element_at(st, 6) + element_at(st, 7) + element_at(st, 8))
+      .cast("double")
     val alphaTerm = when(len === 0, 0.0).otherwise(alpha / len * 0.35)
     val punctTerm = when(len === 0, 0.0)
       .otherwise((lit(1.0) - least(punct * 10.0 / len, lit(1.0))) * 0.15)

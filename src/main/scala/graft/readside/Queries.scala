@@ -318,9 +318,12 @@ object Queries {
   /** Token counting (whitespace + BPE-ish) rolled up by language. */
   def q21TokenStats(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
+      // ONE native text_stats pass per row (r06) — see textStatsCol's
+      // scaladoc for why the array is pinned as its own column
+      .withColumn("st__", TextFunctions.textStatsCol(col("text")))
       .select(col("lang"),
-        TextFunctions.tokenCount(col("text")).cast("bigint").as("toks"),
-        TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("bpe"))
+        TextFunctions.tokenCountFromStats(col("st__")).cast("bigint").as("toks"),
+        TextFunctions.bpeTokenCountFromStats(col("st__")).cast("bigint").as("bpe"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"),
         sum(col("bpe")).as("sum_bpe"))
@@ -329,7 +332,9 @@ object Queries {
   /** Language-ID prediction distribution. */
   def q22LangId(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
-      .select(TextFunctions.langId(col("text")).as("pred_lang"))
+      .withColumn("st__", TextFunctions.textStatsCol(col("text")))
+      .select(TextFunctions.langIdFromStats(col("text"), col("st__"))
+        .as("pred_lang"))
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("pred_lang"))
@@ -338,7 +343,9 @@ object Queries {
     * floor) so the DuckDB parity never depends on a round(double) tie. */
   def q23Quality(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
-      .select(col("doc_id"), TextFunctions.qualityScoreX1e4(col("text")).as("quality_x1e4"))
+      .withColumn("st__", TextFunctions.textStatsCol(col("text")))
+      .select(col("doc_id"),
+        TextFunctions.qualityScoreX1e4FromStats(col("st__")).as("quality_x1e4"))
       .orderBy(col("doc_id"))
 
   /** Exact dedup: keep min doc_id per identical text. The group key is a
@@ -1714,8 +1721,11 @@ object Queries {
     val terms = Seq("spark", "window", "vector")
     // native codegen tokenizer (r06): null docs yield a null token array
     // here where normToks yielded [] — both are dropped by the
-    // size(hp) > 0 filter below, so the emitted rows are identical
-    val toks = GraftFunctions.wordNgrams(col("text"), 1)
+    // size(hp) > 0 filter below, so the emitted rows are identical.
+    // Pinned: the hit-position filter otherwise pushes below this
+    // projection with the tokenizer inlined a second time per row
+    val toks = GraftFunctions.wordNgrams(col("text"), 1, lowercase = true,
+      pinned = true)
     val hitPos = filter(
       transform(col("t"), (x, i) =>
         when(x.isInCollection(terms), i.cast("long")).otherwise(lit(-1L))),
@@ -2385,10 +2395,12 @@ object Queries {
     * hash-aggregate shuffle on 48-byte keys, no window, no driver state. */
   def q40CurationPipeline(s: SparkSession, dir: String): DataFrame =
     fanout(t(s, dir, "documents"))
+      // ONE native text_stats pass feeds all three derived columns (r06)
+      .withColumn("st__", TextFunctions.textStatsCol(col("text")))
       .select(col("doc_id"), col("text"),
-        TextFunctions.langId(col("text")).as("pred_lang"),
-        TextFunctions.qualityScoreX1e4(col("text")).as("quality_x1e4"),
-        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        TextFunctions.langIdFromStats(col("text"), col("st__")).as("pred_lang"),
+        TextFunctions.qualityScoreX1e4FromStats(col("st__")).as("quality_x1e4"),
+        TextFunctions.tokenCountFromStats(col("st__")).cast("bigint").as("n_tokens"))
       .filter(col("pred_lang") === "en" && col("quality_x1e4") >= 5000)
       .select(col("doc_id"), col("quality_x1e4"), col("n_tokens"),
         xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
@@ -2820,9 +2832,13 @@ object Queries {
     val cw = 16
     // native codegen tokenizer (r06): wordNgrams(text, 1) ≡
     // array_remove(split(norm, " "), "") (null → null, dropped by the
-    // size filter in both shapes)
+    // size filter in both shapes); pinned so the size guard is not
+    // pushed below the projection with the kernel inlined a second time
+    // per corpus scan (plan-verified: 4 → 2 kernel sites)
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), GraftFunctions.wordNgrams(col("text"), 1).as("toks"))
+      .select(col("doc_id"),
+        GraftFunctions.wordNgrams(col("text"), 1, lowercase = true,
+          pinned = true).as("toks"))
       .filter(size(col("toks")) > 0)
     val chunks = d
       .withColumn("chunk_id",

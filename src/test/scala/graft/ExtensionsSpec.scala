@@ -142,6 +142,19 @@ class ExtensionsSpec extends SparkSpec {
     api.zip(sql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("SQL ≡ Column API: text_stats (fixed stopword inventories)") {
+    import graft.functions.TextFunctions
+    val api = docs.select(col("doc_id"),
+        GraftFunctions.textStats(col("text"), TextFunctions.EnStop,
+          TextFunctions.DeStop, TextFunctions.FrStop).as("st"))
+      .orderBy("doc_id").collect()
+    val sql = spark.sql(
+      """SELECT doc_id, graft_text_stats(text) AS st
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    assert(api.length == sql.length && api.length > 0)
+    api.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("SQL ≡ Column API: term_freqs (variadic string-literal terms)") {
     val api = docs.select(col("doc_id"),
         GraftFunctions.termFreqs(col("text"), Seq("spark", "window")).as("tf"))

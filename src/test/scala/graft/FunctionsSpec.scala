@@ -76,6 +76,72 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("ECLI:DE:BAG:2022:111", "ECLI:DE:BGH:2023:123456"))
   }
 
+  test("textStats-backed family ≡ the declarative regex chains it replaced (r06)") {
+    import org.apache.spark.sql.Column
+    // the exact pre-r06 declarative forms, inlined as the reference
+    def rxTok(t: Column) = when(length(trim(t)) === 0, lit(0))
+      .otherwise(size(split(trim(t), "\\s+")))
+    def rxBpe(t: Column) =
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+    def hits(t: Column, ws: Seq[String]) = size(regexp_extract_all(lower(t),
+      lit("\\b(" + ws.mkString("|") + ")\\b"), lit(0)))
+    def rxLang(t: Column) = {
+      val en = hits(t, TextFunctions.EnStop)
+      val de = hits(t, TextFunctions.DeStop)
+      val fr = hits(t, TextFunctions.FrStop)
+      when(t.isNull, lit("unknown"))
+        .when(en === 0 && de === 0 && fr === 0, lit("unknown"))
+        .when(en >= de && en >= fr, lit("en"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+    }
+    def rxQx(t: Column) = {
+      val len = length(t).cast("double")
+      val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+      val punct = length(regexp_replace(t, "[^.,;:!?|#@*]", "")).cast("double")
+      val toks = rxTok(t).cast("double")
+      val stops = (hits(t, TextFunctions.EnStop) + hits(t, TextFunctions.DeStop) +
+        hits(t, TextFunctions.FrStop)).cast("double")
+      val alphaTerm = when(len === 0, 0.0).otherwise(alpha / len * 0.35)
+      val punctTerm = when(len === 0, 0.0)
+        .otherwise((lit(1.0) - least(punct * 10.0 / len, lit(1.0))) * 0.15)
+      val stopTerm = when(toks === 0, 0.0)
+        .otherwise(least(stops * 4.0 / toks, lit(1.0)) * 0.3)
+      val lenTerm = when(len >= 200 && len <= 20000, 0.2)
+        .when(len >= 50, 0.1).otherwise(0.0)
+      floor((alphaTerm + punctTerm + stopTerm + lenTerm) * 10000.0 + 0.5)
+        .cast("bigint")
+    }
+    // boundary rows: the empirically-pinned \b cases (é/ü are NON-word:
+    // "éthe" matches, "xfür" does not, "fürx" does not), digits and
+    // underscores as word chars, alternation-order/overlap ("le" vs
+    // "les"), blank/space-only/tab-only/null, 0x20-only trim vs \s+
+    // split (leading/trailing empty segments), NBSP inside a token, a
+    // 4-byte emoji as one BPE token, and a real-corpus slice.
+    val hostile = Seq(
+      "éthe x", "1the x", "_the x", "the x", "athe x", "für den",
+      "xfür den", "fürx", "é für", "tHe the", "theé x", "les le la",
+      "", " ", "\t\n ", null, "  lead und trail  ", "a b the",
+      "emoji 😀 the end", "digits 123 und 4", "der,die.das und",
+      "the.the,the", "d_e_r der")
+    val df = hostile.toDF("text").unionByName(
+      spark.read.parquet(s"${sf()}/documents.parquet").select($"text").limit(80))
+    val rows = df.select(
+        TextFunctions.tokenCount($"text").as("t_new"), rxTok($"text").as("t_old"),
+        TextFunctions.bpeTokenCount($"text").as("b_new"), rxBpe($"text").as("b_old"),
+        TextFunctions.langId($"text").as("l_new"), rxLang($"text").as("l_old"),
+        TextFunctions.qualityScoreX1e4($"text").as("q_new"), rxQx($"text").as("q_old"),
+        $"text")
+      .collect()
+    assert(rows.length == hostile.length + 80)
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"tokenCount: ${r.get(0)} vs ${r.get(1)} on [${r.get(8)}]")
+      assert(r.get(2) == r.get(3), s"bpe: ${r.get(2)} vs ${r.get(3)} on [${r.get(8)}]")
+      assert(r.get(4) == r.get(5), s"langId: ${r.get(4)} vs ${r.get(5)} on [${r.get(8)}]")
+      assert(r.get(6) == r.get(7), s"qualityX1e4: ${r.get(6)} vs ${r.get(7)} on [${r.get(8)}]")
+    }
+  }
+
   test("token counting + langId + quality") {
     val df = Seq(
       "the cat and the dog went to the market and it was good",
