@@ -2763,10 +2763,13 @@ object Queries {
     val seqLen = 512L
     // native codegen token count (r06): size(wordNgrams(text, 1)) ≡
     // size(array_remove(split(norm, " "), "")) — blank docs 0 both
-    // ways, null docs null both ways (filtered below either way)
+    // ways, null docs null both ways (filtered below either way);
+    // pinned so the n_tok guard is not pushed below this projection
+    // with the kernel inlined a second time (the q48 trap)
     val perdoc = materialize(s, t(s, dir, "documents")
       .select(col("doc_id"),
-        size(GraftFunctions.wordNgrams(col("text"), 1)).cast("bigint").as("n_tok"))
+        size(GraftFunctions.wordNgrams(col("text"), 1, lowercase = true,
+          pinned = true)).cast("bigint").as("n_tok"))
       .filter(col("n_tok") > 0))
     prefixStartTok(s, perdoc, nb)
       .select(col("doc_id"), col("n_tok"), col("start_tok"),
@@ -2922,10 +2925,11 @@ object Queries {
     val seqLen = 256L
     val target = 200L
     // native codegen token count (r06): ≡ size(array_remove(split(norm,
-    // " "), "")) — the q47 argument
+    // " "), "")) — the q47 argument, incl. the pushdown pin
     val base = materialize(s, t(s, dir, "documents").select(
         col("doc_id"), col("source"),
-        size(GraftFunctions.wordNgrams(col("text"), 1)).cast("bigint").as("n_tok"),
+        size(GraftFunctions.wordNgrams(col("text"), 1, lowercase = true,
+          pinned = true)).cast("bigint").as("n_tok"),
         GraftFunctions.ngramMaxCount(col("text"), 2).as("maxbg__"),
         xxhash64(col("text")).as("h1__"), md5(col("text")).as("h2__"))
       .filter(col("n_tok") >= 16 && col("maxbg__") * 10 < col("n_tok")))
