@@ -424,9 +424,16 @@ object Queries {
     val bands = 4
     val rowsPerBand = 4
     // corpus count from a COLUMN-PRUNED scan (doc_id only — parquet reads
-    // no text bytes for it); the text is scanned exactly once, by the
-    // shingle explode, and never cached (caching the full text was a pure
-    // memory-bandwidth cost: the explode is its only consumer).
+    // no text bytes for it). `raw` (the exploded shingle stream) is NOT
+    // cached (r06): the exploded table is BIGGER than the text it came
+    // from, so the old persist traded one native re-shingling pass for
+    // block-manager bandwidth on a bandwidth-bound box — measured ~12%
+    // slower in an interleaved pair — and, persisted, the sample
+    // branch's doc_id filter could not push below the explode (now the
+    // sample consumer shingles only ~m docs). At 100 TB the recompute
+    // shape is the only one that works at all: a corpus-sized shingle
+    // cache fits nowhere. Every consumer aggregates globally, so the
+    // result is cache-invariant.
     // repartition before the explode — a single parquet file would put the
     // whole shingling in one task
     val nDocs = t(s, dir, "documents").select(col("doc_id")).count()
@@ -435,7 +442,6 @@ object Queries {
     val raw = docs
       .select(col("doc_id"),
         explode(GraftFunctions.shingleHashes(col("text"), 5)).as("shingle"))
-      .persist()
     // stop-shingle removal (Broder-style): shingles present in >50% of the
     // corpus carry no dedup signal but dominate every minhash min —
     // without this, band buckets collapse into O(corpus) blobs and the
@@ -549,7 +555,7 @@ object Queries {
     // cached datasets per q27 call for its whole life. No driver collect:
     // the pair list stays distributed end-to-end.
     val result = materialize(s, out)
-    raw.unpersist(); exploded.unpersist()
+    exploded.unpersist()
     result.orderBy(col("id_a"), col("id_b"))
   }
 
