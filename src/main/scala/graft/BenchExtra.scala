@@ -93,7 +93,7 @@ object BenchExtra {
     println(f"TOTAL(best-of-$reps) = $total%.2f s over ${results.size} queries")
     val json = results.map { case (n, ss) =>
       "\"" + n + "\":" + f"${ss.min}%.4f"
-    }.mkString("{", ",", s""","_total":$total%.3f}""")
+    }.mkString("{", ",", f""","_total":$total%.3f}""") // f-interp: the s-interpolator left a literal %.3f suffix, making the file invalid JSON (r06 fix)
     Files.writeString(Paths.get("BENCH_EXTRA.json"), json + "\n")
     spark.stop()
   }
